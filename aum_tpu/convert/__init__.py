@@ -1,0 +1,11 @@
+from aum_tpu.convert.torch_port import (
+    port_aum_state_dict,
+    port_vim_imagenet_state_dict,
+    load_torch_checkpoint,
+)
+
+__all__ = [
+    "port_aum_state_dict",
+    "port_vim_imagenet_state_dict",
+    "load_torch_checkpoint",
+]

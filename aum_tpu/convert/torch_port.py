@@ -1,0 +1,306 @@
+"""PyTorch checkpoint porter: reference AuM/ViM .pth -> aum_tpu flax params.
+
+Reproduces the reference's checkpoint-loading surgery:
+
+- AuM pretrain load (/root/reference/src/models/mamba_models.py:397-451):
+  `module.` prefix strip, pretrain patch-grid inference by scanning audio
+  lengths 2^6..2^19 at 128 mel bins, pos-embed bilinear resample to the
+  target grid, head drop on class-count mismatch.
+- ImageNet ViM load (mamba_models.py:348-395): `pos_embed` key move, RGB->1ch
+  patch-kernel channel mean, relocation of the middle/double cls pos-embed
+  into the prefix slot (FlexiPosEmbed.insert_to_prefix, tokenization.py:
+  389-402), square-grid assumption, head drop.
+- FlexiPatchEmbed PI-resize of the patch kernel when patch size differs
+  (tokenization.py:234-256) via aum_tpu.models.tokenization.
+
+Layout translation (torch -> flax):
+- Linear weights transpose (out,in) -> (in,out); in_proj splits into the
+  x/z halves (rows 0:d_inner / d_inner:2*d_inner of the torch weight);
+- Conv2d patch kernel OIHW -> HWIO;
+- conv1d depthwise (d,1,k) -> (d,k);
+- per-layer torch modules stack into the nn.scan'd layer axis.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from aum_tpu.models.audio_mamba import AudioMambaConfig
+from aum_tpu.models.tokenization import (
+    patch_grid_shape,
+    resample_abs_pos_embed,
+    resample_patch_embed,
+    to_2tuple,
+)
+
+
+def load_torch_checkpoint(path: str, modelkey: str | None = None) -> Dict:
+    """Load a .pth file to a {key: np.ndarray} dict (torch cpu)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if modelkey is not None and modelkey in sd:
+        sd = sd[modelkey]
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+            for k, v in sd.items()}
+
+
+def _strip_module(sd: Dict) -> Dict:
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def infer_pretrain_grid(
+    pos_embed: np.ndarray,
+    patch_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    num_prefix: int,
+) -> Tuple[int, int]:
+    """mamba_models.py:419-428: find (F',T') with F'*T' == n_pos_tokens by
+    scanning audio lengths 2^6..2^19 at 128 mel bins."""
+    n = pos_embed.shape[1] - num_prefix
+    for log_len in range(6, 20):
+        grid = patch_grid_shape(strides, patch_size, 128, 2 ** log_len)
+        if grid[0] * grid[1] == n:
+            return grid
+    raise ValueError(f"could not infer pretrain grid for {n} patch tokens")
+
+
+def _insert_to_prefix(pos: np.ndarray, from_pos) -> np.ndarray:
+    """FlexiPosEmbed.insert_to_prefix (tokenization.py:389-402)."""
+    if isinstance(from_pos, int):
+        from_pos = [from_pos]
+    x = pos
+    for i, fp in enumerate(from_pos):
+        x = np.concatenate(
+            [x[:, :i], x[:, fp:fp + 1], x[:, i:fp], x[:, fp + 1:]], axis=1)
+    return x
+
+
+def _mixer_params(sd: Dict, prefix: str, bimamba_type: str) -> Dict:
+    """One torch mixer module -> flax mixer leaf dict (unstacked)."""
+    g = lambda k: sd[prefix + k]
+    d_inner = g("A_log").shape[0]
+    in_w = g("in_proj.weight")  # (2*d_inner, d_model)
+    out = {
+        "in_proj_x_weight": in_w[:d_inner].T,
+        "in_proj_z_weight": in_w[d_inner:].T,
+        "conv1d_weight": g("conv1d.weight")[:, 0, :],
+        "conv1d_bias": g("conv1d.bias"),
+        "x_proj_weight": g("x_proj.weight").T,
+        "dt_proj_weight": g("dt_proj.weight").T,
+        "dt_proj_bias": g("dt_proj.bias"),
+        "A_log": g("A_log"),
+        "D": g("D"),
+        "out_proj_weight": g("out_proj.weight").T,
+    }
+    if bimamba_type in ("v1", "v2"):
+        out["A_b_log"] = g("A_b_log")
+    if bimamba_type == "v2":
+        out.update({
+            "conv1d_b_weight": g("conv1d_b.weight")[:, 0, :],
+            "conv1d_b_bias": g("conv1d_b.bias"),
+            "x_proj_b_weight": g("x_proj_b.weight").T,
+            "dt_proj_b_weight": g("dt_proj_b.weight").T,
+            "dt_proj_b_bias": g("dt_proj_b.bias"),
+            "D_b": g("D_b"),
+        })
+    return out
+
+
+def _stack_layers(per_layer: list[Dict]) -> Dict:
+    keys = per_layer[0].keys()
+    return {k: np.stack([p[k] for p in per_layer]).astype(np.float32)
+            for k in keys}
+
+
+def port_aum_state_dict(
+    sd: Dict,
+    cfg: AudioMambaConfig,
+    pretrain_fstride: int | None = None,
+    pretrain_tstride: int | None = None,
+) -> Dict:
+    """Port a reference AuM checkpoint to flax params for `cfg`.
+
+    Follows mamba_models.py:397-451 + the FlexiPatchEmbed/FlexiPosEmbed
+    retargeting: patch kernel PI-resized if patch size differs, pos-embed
+    bilinearly resampled to cfg's grid, head dropped on class mismatch.
+
+    Returns a {"params": ...} pytree matching AudioMamba.init's structure
+    (missing head leaves are freshly absent — merge with an init tree).
+    """
+    sd = _strip_module(sd)
+    depth = cfg.depth
+    bt = cfg.bimamba_type
+
+    proj_w = sd["patch_embed.proj.weight"]  # (D, 1, ph, pw) OIHW
+    proj_b = sd["patch_embed.proj.bias"]
+    patch_size_load = tuple(proj_w.shape[-2:])
+    strides_load = (
+        pretrain_fstride if pretrain_fstride is not None else patch_size_load[0],
+        pretrain_tstride if pretrain_tstride is not None else patch_size_load[1],
+    )
+
+    pos = sd["pos_embed.pos_embed"]
+    grid_load = infer_pretrain_grid(
+        pos, patch_size_load, strides_load, cfg.num_prefix_tokens)
+
+    # Patch kernel: OIHW -> HWIO (+ PI resize if needed).
+    kernel = np.transpose(proj_w, (2, 3, 1, 0)).astype(np.float32)
+    if to_2tuple(cfg.patch_size) != patch_size_load:
+        import jax.numpy as jnp
+
+        kernel = np.asarray(resample_patch_embed(
+            jnp.asarray(kernel), to_2tuple(cfg.patch_size)))
+
+    # Pos embed: resample grid part to cfg's grid.
+    if tuple(cfg.patch_grid) != tuple(grid_load):
+        import jax.numpy as jnp
+
+        pos = np.asarray(resample_abs_pos_embed(
+            jnp.asarray(pos.astype(np.float32)), cfg.patch_grid, grid_load,
+            cfg.num_prefix_tokens))
+
+    layers = _stack_layers([
+        {
+            "norm_weight": sd[f"layers.{i}.norm.weight"],
+            **{f"mixer/{k}": v for k, v in
+               _mixer_params(sd, f"layers.{i}.mixer.", bt).items()},
+        }
+        for i in range(depth)
+    ])
+    block = {"norm_weight": layers.pop("norm_weight"),
+             "mixer": {k.split("/", 1)[1]: v for k, v in layers.items()}}
+
+    params = {
+        "patch_embed": {"proj_weight": kernel,
+                        "proj_bias": proj_b.astype(np.float32)},
+        "pos_embed": {"pos_embed": pos.astype(np.float32)},
+        "norm_f_weight": sd["norm_f.weight"].astype(np.float32),
+        "layers": {"block": block},
+    }
+    if cfg.if_cls_token:
+        params["cls_token"] = sd["cls_token"].astype(np.float32)
+
+    if ("head.weight" in sd
+            and sd["head.weight"].shape[0] == cfg.num_classes):
+        params["head_weight"] = sd["head.weight"].T.astype(np.float32)
+        params["head_bias"] = sd["head.bias"].astype(np.float32)
+    return {"params": params}
+
+
+def port_vim_imagenet_state_dict(
+    sd: Dict,
+    cfg: AudioMambaConfig,
+    load_middle_cls_token: bool = True,
+    load_double_cls_token: bool = False,
+) -> Dict:
+    """Port an ImageNet ViM checkpoint (mamba_models.py:348-395).
+
+    Key moves: RGB patch kernel averaged to 1 channel; the cls pos-embed
+    (stored at its natural sequence position in ViM) relocated to the prefix
+    slot; the (assumed square) grid resampled to cfg's grid; head dropped.
+    """
+    sd = dict(_strip_module(sd))
+    pos = sd["pos_embed"].astype(np.float32)
+    if load_double_cls_token:
+        pos = _insert_to_prefix(pos, [0, pos.shape[1] - 1])
+    elif load_middle_cls_token:
+        n = pos.shape[1] - 1
+        pos = _insert_to_prefix(pos, n // 2)
+    side = int(round((pos.shape[1] - cfg.num_prefix_tokens) ** 0.5))
+    grid_load = (side, side)
+
+    # 3-channel kernel -> mean over channels (mamba_models.py:354-355).
+    proj_w = sd["patch_embed.proj.weight"].mean(axis=1, keepdims=True)
+    sd = {k: v for k, v in sd.items()
+          if k not in ("pos_embed", "head.weight", "head.bias")}
+    sd["pos_embed.pos_embed"] = pos
+    sd["patch_embed.proj.weight"] = proj_w
+
+    # Build a fake pos-grid inference bypass: resample directly here since
+    # ViM grids are image grids, not audio ones.
+    if tuple(cfg.patch_grid) != grid_load:
+        import jax.numpy as jnp
+
+        sd["pos_embed.pos_embed"] = np.asarray(resample_abs_pos_embed(
+            jnp.asarray(pos), cfg.patch_grid, grid_load,
+            cfg.num_prefix_tokens))
+
+    # Reuse the AuM porter for the rest of the layout translation; pin
+    # strides so grid inference is skipped by making it consistent.
+    ported = port_aum_state_dict(
+        sd, cfg,
+        pretrain_fstride=None, pretrain_tstride=None,
+    ) if _grid_inferrable(sd, cfg) else _port_without_grid_inference(sd, cfg)
+    return ported
+
+
+def _grid_inferrable(sd, cfg) -> bool:
+    try:
+        proj_w = sd["patch_embed.proj.weight"]
+        ps = tuple(proj_w.shape[-2:])
+        infer_pretrain_grid(sd["pos_embed.pos_embed"], ps, ps,
+                            cfg.num_prefix_tokens)
+        return True
+    except ValueError:
+        return False
+
+
+def _port_without_grid_inference(sd, cfg) -> Dict:
+    """Port when the pos-embed already matches cfg's grid exactly."""
+    expected = cfg.num_prefix_tokens + cfg.num_patches
+    pos = sd["pos_embed.pos_embed"]
+    if pos.shape[1] != expected:
+        raise ValueError(
+            f"pos embed has {pos.shape[1]} tokens, expected {expected}")
+    depth, bt = cfg.depth, cfg.bimamba_type
+    layers = _stack_layers([
+        {
+            "norm_weight": sd[f"layers.{i}.norm.weight"],
+            **{f"mixer/{k}": v for k, v in
+               _mixer_params(sd, f"layers.{i}.mixer.", bt).items()},
+        }
+        for i in range(depth)
+    ])
+    block = {"norm_weight": layers.pop("norm_weight"),
+             "mixer": {k.split("/", 1)[1]: v for k, v in layers.items()}}
+    params = {
+        "patch_embed": {
+            "proj_weight": np.transpose(
+                sd["patch_embed.proj.weight"], (2, 3, 1, 0)).astype(
+                    np.float32),
+            "proj_bias": sd["patch_embed.proj.bias"].astype(np.float32)},
+        "pos_embed": {"pos_embed": pos.astype(np.float32)},
+        "norm_f_weight": sd["norm_f.weight"].astype(np.float32),
+        "layers": {"block": block},
+    }
+    if cfg.if_cls_token and "cls_token" in sd:
+        params["cls_token"] = sd["cls_token"].astype(np.float32)
+    return {"params": params}
+
+
+def merge_with_init(ported: Dict, init_params: Dict) -> Dict:
+    """Fill leaves missing from the ported tree (e.g. a fresh head) from an
+    init tree — the reference's load_state_dict(strict=False) semantics."""
+    import jax
+
+    def merge(init_tree, new_tree):
+        if isinstance(init_tree, dict):
+            out = {}
+            for k, v in init_tree.items():
+                if isinstance(new_tree, dict) and k in new_tree:
+                    out[k] = merge(v, new_tree[k])
+                else:
+                    out[k] = v
+            return out
+        import jax.numpy as jnp
+
+        arr = jnp.asarray(new_tree)
+        assert arr.shape == init_tree.shape, (arr.shape, init_tree.shape)
+        return arr.astype(init_tree.dtype)
+
+    del jax
+    return merge(init_params, ported)

@@ -1,0 +1,264 @@
+"""AudioMamba (AuM): bidirectional-Mamba audio classifier, TPU-native.
+
+Re-design of the reference model (/root/reference/src/models/mamba_models.py,
+`AudioMamba`, :193-692) in flax for JAX/TPU:
+
+- Input (B, T, F) log-mel spectrogram; internally (B, F, T) like the
+  reference's unsqueeze+transpose (mamba_models.py:510-511).
+- Conv patch embedding -> (B, N, D) tokens (F-major order), class token
+  inserted at a static position (middle by default, mamba_models.py:525-535),
+  learnable absolute pos-embedding added with prefix bookkeeping
+  (tokenization.py:414-451 — reduced to slice-adds here).
+- depth x [add -> RMSNorm -> bidirectional Mamba mixer] blocks with an fp32
+  residual stream. The layer stack is an `nn.scan` over a single block
+  definition (stacked params): one trace/compile of the block instead of 24,
+  and a layout that shards naturally over a device mesh.
+- `if_bidirectional` pairs consecutive layers, running the odd layer on the
+  reversed sequence and summing (mamba_models.py:624-638). Independent from
+  per-mixer bidirectionality (bimamba_type).
+- Final fused add+norm, cls-token readout (or mean/max/last pooling,
+  mamba_models.py:660-675), linear head.
+
+Variants (run.py:227-246): base/small/tiny = embed_dim 768/384/192, depth 24;
+aum_type Fo-Fo/Fo-Bi/Bi-Bi = bimamba_type none/v1/v2.
+
+Parameter-count parity targets (README.md:113/125): AuM-Base Fo-Bi 92.1M,
+AuM-Small Bi-Bi 25.5M (checked in tests/test_model.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aum_tpu.models.mamba import MambaBlock
+from aum_tpu.models.tokenization import (
+    PatchEmbed,
+    PosEmbed,
+    patch_grid_shape,
+    to_2tuple,
+    trunc_normal_02,
+)
+from aum_tpu.ops import fused_add_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioMambaConfig:
+    """Static model configuration (reference defaults, mamba_models.py:194-242)."""
+
+    spectrogram_size: Tuple[int, int] = (128, 1024)  # (F, T)
+    patch_size: Tuple[int, int] = (16, 16)
+    strides: Tuple[int, int] = (16, 16)
+    depth: int = 24
+    embed_dim: int = 768
+    num_classes: int = 527
+    d_state: int = 16
+    norm_epsilon: float = 1e-5
+    rms_norm: bool = True
+    residual_in_fp32: bool = True
+    final_pool_type: str = "mean"
+    if_abs_pos_embed: bool = True
+    if_cls_token: bool = True
+    use_middle_cls_token: bool = True
+    use_end_cls_token: bool = False
+    use_double_cls_token: bool = False
+    bimamba_type: str = "v2"
+    if_devide_out: bool = True
+    if_bidirectional: bool = False
+    dtype: str = "float32"
+
+    @property
+    def patch_grid(self) -> Tuple[int, int]:
+        return patch_grid_shape(
+            to_2tuple(self.strides), to_2tuple(self.patch_size),
+            self.spectrogram_size[0], self.spectrogram_size[1])
+
+    @property
+    def num_patches(self) -> int:
+        f, t = self.patch_grid
+        return f * t
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        if not self.if_cls_token:
+            return 0
+        return 2 if self.use_double_cls_token else 1
+
+    @staticmethod
+    def base(**kw) -> "AudioMambaConfig":
+        return AudioMambaConfig(depth=24, embed_dim=768, **kw)
+
+    @staticmethod
+    def small(**kw) -> "AudioMambaConfig":
+        return AudioMambaConfig(depth=24, embed_dim=384, **kw)
+
+    @staticmethod
+    def tiny(**kw) -> "AudioMambaConfig":
+        return AudioMambaConfig(depth=24, embed_dim=192, **kw)
+
+    @staticmethod
+    def from_variant(model_type: str = "base", aum_type: str = "Fo-Bi",
+                     **kw) -> "AudioMambaConfig":
+        """run.py:227-246 variant mapping."""
+        bimamba = {"Fo-Fo": "none", "Fo-Bi": "v1", "Bi-Bi": "v2"}[aum_type]
+        ctor = {"base": AudioMambaConfig.base, "small": AudioMambaConfig.small,
+                "tiny": AudioMambaConfig.tiny}[model_type]
+        return ctor(bimamba_type=bimamba, **kw)
+
+
+class AudioMamba(nn.Module):
+    config: AudioMambaConfig
+    use_kernel: Optional[bool] = None
+    # Tensor-parallel axis name when running under shard_map (d_inner sharded).
+    model_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, return_features: bool = False) -> jax.Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        b = x.shape[0]
+
+        # (B, T, F) -> (B, F, T) (mamba_models.py:510-511).
+        x = jnp.swapaxes(x, 1, 2).astype(dtype)
+        x = PatchEmbed(
+            patch_size=to_2tuple(cfg.patch_size),
+            strides=to_2tuple(cfg.strides),
+            embed_dim=cfg.embed_dim, dtype=dtype, name="patch_embed")(x)
+        n = x.shape[1]
+
+        token_position = None
+        if cfg.if_cls_token:
+            if cfg.use_double_cls_token:
+                head_tok = self.param("cls_token_head", trunc_normal_02,
+                                      (1, 1, cfg.embed_dim))
+                tail_tok = self.param("cls_token_tail", trunc_normal_02,
+                                      (1, 1, cfg.embed_dim))
+                token_position = [0, n + 1]
+                x = jnp.concatenate([
+                    jnp.tile(head_tok.astype(dtype), (b, 1, 1)), x,
+                    jnp.tile(tail_tok.astype(dtype), (b, 1, 1))], axis=1)
+            else:
+                cls_tok = self.param("cls_token", trunc_normal_02,
+                                     (1, 1, cfg.embed_dim))
+                if cfg.use_middle_cls_token:
+                    token_position = n // 2
+                elif cfg.use_end_cls_token:
+                    token_position = n
+                else:
+                    token_position = 0
+                tp = token_position
+                x = jnp.concatenate([
+                    x[:, :tp], jnp.tile(cls_tok.astype(dtype), (b, 1, 1)),
+                    x[:, tp:]], axis=1)
+
+        if cfg.if_abs_pos_embed:
+            x = PosEmbed(
+                pos_grid_size=cfg.patch_grid, embed_dim=cfg.embed_dim,
+                n_prefix_tokens=cfg.num_prefix_tokens, name="pos_embed")(
+                    x, token_position=token_position)
+
+        block_kwargs = dict(
+            d_model=cfg.embed_dim, norm_epsilon=cfg.norm_epsilon,
+            rms_norm=cfg.rms_norm, residual_in_fp32=cfg.residual_in_fp32,
+            bimamba_type=cfg.bimamba_type, if_devide_out=cfg.if_devide_out,
+            d_state=cfg.d_state, n_layer=cfg.depth, dtype=dtype,
+            use_kernel=self.use_kernel, model_axis=self.model_axis)
+
+        # The scan carry must keep a fixed pytree structure, so the residual
+        # stream starts as zeros (equivalent to the reference's residual=None
+        # first-block special case: residual' = 0 + hidden = hidden).
+        res0 = jnp.zeros(
+            x.shape, jnp.float32 if cfg.residual_in_fp32 else dtype)
+        if not cfg.if_bidirectional:
+            ScannedBlock = nn.scan(
+                _BlockCell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.depth,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )
+            (hidden, residual), _ = ScannedBlock(
+                block_kwargs=block_kwargs, name="layers")((x, res0), None)
+        else:
+            # Paired forward/backward layers (mamba_models.py:624-638): layer
+            # 2i on the sequence, layer 2i+1 on the reversed sequence, summed.
+            ScannedPair = nn.scan(
+                _BlockPair,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.depth // 2,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )
+            (hidden, residual), _ = ScannedPair(
+                block_kwargs=block_kwargs, name="layers")((x, res0), None)
+
+        norm_f_w = self.param("norm_f_weight", nn.initializers.ones,
+                              (cfg.embed_dim,))
+        norm_f_b = (None if cfg.rms_norm else self.param(
+            "norm_f_bias", nn.initializers.zeros, (cfg.embed_dim,)))
+        hidden = fused_add_norm(
+            hidden, norm_f_w.astype(dtype), norm_f_b, residual=residual,
+            prenorm=False, residual_in_fp32=cfg.residual_in_fp32,
+            eps=cfg.norm_epsilon,
+            norm_type="rms" if cfg.rms_norm else "layer")
+
+        # Readout (mamba_models.py:660-675).
+        if cfg.if_cls_token:
+            if cfg.use_double_cls_token:
+                feats = (hidden[:, token_position[0]]
+                         + hidden[:, token_position[1]]) / 2
+            else:
+                feats = hidden[:, token_position]
+        elif cfg.final_pool_type == "none":
+            feats = hidden[:, -1]
+        elif cfg.final_pool_type == "mean":
+            feats = jnp.mean(hidden, axis=1)
+        elif cfg.final_pool_type in ("max", "all"):
+            feats = hidden
+        else:
+            raise NotImplementedError(cfg.final_pool_type)
+
+        if return_features:
+            return feats
+
+        head_w = self.param("head_weight", trunc_normal_02,
+                            (cfg.embed_dim, cfg.num_classes))
+        head_b = self.param("head_bias", nn.initializers.zeros,
+                            (cfg.num_classes,))
+        logits = feats.astype(dtype) @ head_w.astype(dtype) + head_b.astype(dtype)
+        if cfg.final_pool_type == "max" and not cfg.if_cls_token:
+            logits = jnp.max(logits, axis=1)
+        return logits
+
+
+class _BlockCell(nn.Module):
+    """nn.scan cell wrapping one MambaBlock (carry = (hidden, residual))."""
+
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden, residual = carry
+        hidden, residual = MambaBlock(
+            **self.block_kwargs, name="block")(hidden, residual)
+        return (hidden, residual), None
+
+
+class _BlockPair(nn.Module):
+    """One forward-layer + one reversed-layer pair for if_bidirectional."""
+
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden, residual = carry
+        h_f, r_f = MambaBlock(**self.block_kwargs, name="fwd")(hidden, residual)
+        h_b, r_b = MambaBlock(**self.block_kwargs, name="bwd")(
+            hidden[:, ::-1], residual[:, ::-1])
+        hidden = h_f + h_b[:, ::-1]
+        residual = r_f + r_b[:, ::-1]
+        return (hidden, residual), None

@@ -1,0 +1,265 @@
+"""Mamba mixer + residual block, TPU-native (flax.linen).
+
+Re-design of the reference `Mamba` module (/root/reference/vim-mamba_ssm/
+mamba_ssm/modules/mamba_simple.py:34-399) and `Block`
+(/root/reference/src/models/mamba_models.py:30-102) for JAX/TPU:
+
+- (B, L, D) layout end-to-end; projections are plain MXU matmuls that XLA
+  fuses with neighbors.
+- The scan is the fused Pallas op `aum_tpu.ops.selective_scan` (softplus +
+  discretize + scan + C-readout + D-skip + SiLU(z) gating in one kernel).
+- Bidirectional variants never materialize flipped sequences: the backward
+  direction uses `reverse=True` on the conv and the scan (equivalent to the
+  reference's flip→op→flip at mamba_simple.py:229-246).
+
+Variants (mamba_simple.py:129-165, 195-246):
+  bimamba_type="none" (Fo-Fo): single forward scan.
+  bimamba_type="v1" (Fo-Bi): shared conv/x_proj/dt_proj; a second scan over
+    the same activations in reverse with its own A_b; outputs summed.
+  bimamba_type="v2" (Bi-Bi): a fully separate second branch (conv1d_b,
+    x_proj_b, dt_proj_b, A_b, D_b) run in reverse; outputs summed and halved
+    when if_devide_out.
+
+Parameter initializers replicate the torch defaults so training dynamics
+match: Linear kernels ~ U(±1/sqrt(fan_in)) (torch kaiming_uniform(a=sqrt 5)),
+conv taps/bias ~ U(±1/sqrt(k)), the special dt_proj init (mamba_simple.py:
+96-113), S4D-real A_log = log(1..N) and D = 1 (mamba_simple.py:116-127), and
+the GPT-2 1/sqrt(n_layer) out_proj rescale (mamba_models.py:143-172).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aum_tpu.ops import causal_conv1d, fused_add_norm, selective_scan
+
+
+def uniform_fan_in(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def scaled_uniform_fan_in(fan_in: int, scale: float):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound) * scale
+
+    return init
+
+
+def dt_bias_init(dt_min: float, dt_max: float, dt_init_floor: float):
+    """Init so softplus(bias) is log-uniform in [dt_min, dt_max]."""
+
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(
+            jax.random.uniform(key, shape, jnp.float32)
+            * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.maximum(dt, dt_init_floor)
+        # inverse softplus
+        inv = dt + jnp.log(-jnp.expm1(-dt))
+        return inv.astype(dtype)
+
+    return init
+
+
+def a_log_init(d_state: int):
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        d_inner = shape[0]
+        a = jnp.tile(jnp.arange(1, d_state + 1, dtype=jnp.float32)[None, :],
+                     (d_inner, 1))
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+class MambaMixer(nn.Module):
+    """Selective-SSM mixer (one direction pair) for one block."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Optional[int] = None
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    proj_bias: bool = False
+    bimamba_type: str = "v2"
+    if_devide_out: bool = True
+    n_layer: int = 24          # for the GPT-2 out_proj rescale
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Optional[bool] = None
+    # Tensor-parallel axis name (set when running under shard_map with
+    # d_inner sharded; inserts the two psums the TP layout needs).
+    model_axis: Optional[str] = None
+
+    @property
+    def d_inner(self) -> int:
+        return self.expand * self.d_model
+
+    @property
+    def rank(self) -> int:
+        return self.dt_rank if self.dt_rank is not None else math.ceil(
+            self.d_model / 16)
+
+    def _branch_params(self, suffix: str):
+        d_in = self.d_inner
+        conv_w = self.param(f"conv1d{suffix}_weight",
+                            uniform_fan_in(self.d_conv),
+                            (d_in, self.d_conv))
+        conv_b = (self.param(f"conv1d{suffix}_bias",
+                             uniform_fan_in(self.d_conv), (d_in,))
+                  if self.conv_bias else None)
+        x_proj = self.param(f"x_proj{suffix}_weight", uniform_fan_in(d_in),
+                            (d_in, self.rank + 2 * self.d_state))
+        dt_w = self.param(f"dt_proj{suffix}_weight",
+                          uniform_fan_in(self.rank), (self.rank, d_in))
+        dt_b = self.param(f"dt_proj{suffix}_bias",
+                          dt_bias_init(self.dt_min, self.dt_max,
+                                       self.dt_init_floor), (d_in,))
+        a_log = self.param(f"A{suffix}_log", a_log_init(self.d_state),
+                           (d_in, self.d_state))
+        dsk = self.param(f"D{suffix}", nn.initializers.ones, (d_in,))
+        return conv_w, conv_b, x_proj, dt_w, dt_b, a_log, dsk
+
+    def _branch_activations(self, x, params, reverse_conv: bool):
+        """conv -> x/dt projections (shared pre-scan activations)."""
+        conv_w, conv_b, x_proj, dt_w, _, _, _ = params
+        xc = causal_conv1d(
+            x, conv_w.astype(self.dtype),
+            None if conv_b is None else conv_b.astype(self.dtype),
+            activation="silu", reverse=reverse_conv)
+        x_dbl = xc @ x_proj.astype(self.dtype)
+        if self.model_axis is not None:
+            # TP: x_proj contracts the sharded d_inner -- reduce partials.
+            x_dbl = jax.lax.psum(x_dbl, self.model_axis)
+        dt_in = x_dbl[..., : self.rank] @ dt_w.astype(self.dtype)
+        bm = x_dbl[..., self.rank: self.rank + self.d_state]
+        cm = x_dbl[..., self.rank + self.d_state:]
+        return xc, dt_in, bm, cm
+
+    def _scan(self, acts, z, params, reverse: bool, a_log_override=None):
+        xc, dt_in, bm, cm = acts
+        _, _, _, _, dt_b, a_log, dsk = params
+        a_log_use = a_log if a_log_override is None else a_log_override
+        a = -jnp.exp(a_log_use.astype(jnp.float32))
+        return selective_scan(
+            xc, dt_in, a, bm, cm, dsk.astype(jnp.float32), z=z,
+            delta_bias=dt_b.astype(jnp.float32), delta_softplus=True,
+            reverse=reverse, use_kernel=self.use_kernel)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_in = self.d_inner
+        # The reference's single in_proj (d_model, 2*d_inner) is stored as
+        # separate x/z projections so that sharding d_inner over the model
+        # axis keeps both halves local (the checkpoint porter splits the
+        # torch weight rows).
+        in_proj_x = self.param("in_proj_x_weight",
+                               uniform_fan_in(self.d_model),
+                               (self.d_model, d_in))
+        in_proj_z = self.param("in_proj_z_weight",
+                               uniform_fan_in(self.d_model),
+                               (self.d_model, d_in))
+        out_proj = self.param(
+            "out_proj_weight",
+            scaled_uniform_fan_in(d_in, 1.0 / math.sqrt(self.n_layer)),
+            (d_in, self.d_model))
+
+        x = x.astype(self.dtype)
+        xs = x @ in_proj_x.astype(self.dtype)
+        z = x @ in_proj_z.astype(self.dtype)
+        if self.proj_bias:
+            xs = xs + self.param("in_proj_x_bias", nn.initializers.zeros,
+                                 (d_in,)).astype(self.dtype)
+            z = z + self.param("in_proj_z_bias", nn.initializers.zeros,
+                               (d_in,)).astype(self.dtype)
+
+        fwd_params = self._branch_params("")
+        acts = self._branch_activations(xs, fwd_params, reverse_conv=False)
+        y = self._scan(acts, z, fwd_params, reverse=False)
+
+        if self.bimamba_type == "v1":
+            # v1 reuses the SAME forward conv/projection activations and
+            # only runs the scan in reverse with its own A_b
+            # (bimamba_inner_fn semantics, selective_scan_interface.py:
+            # 673-709: y_b = scan(x.flip, delta.flip, A_b, B.flip, C.flip)).
+            a_b_log = self.param("A_b_log", a_log_init(self.d_state),
+                                 (d_in, self.d_state))
+            y_b = self._scan(acts, z, fwd_params, reverse=True,
+                             a_log_override=a_b_log)
+            y = y + y_b
+        elif self.bimamba_type == "v2":
+            # v2 runs a fully separate branch on the flipped sequence
+            # (mamba_simple.py:229-241): anti-causal conv + reverse scan.
+            bwd_params = self._branch_params("_b")
+            acts_b = self._branch_activations(
+                xs, bwd_params, reverse_conv=True)
+            y_b = self._scan(acts_b, z, bwd_params, reverse=True)
+            y = y + y_b
+            if self.if_devide_out:
+                y = y / 2
+        elif self.bimamba_type != "none":
+            raise ValueError(f"unknown bimamba_type: {self.bimamba_type}")
+
+        out = y.astype(self.dtype) @ out_proj.astype(self.dtype)
+        if self.model_axis is not None:
+            # TP: out_proj contracts the sharded d_inner -- reduce partials.
+            out = jax.lax.psum(out, self.model_axis)
+        if self.proj_bias:
+            out = out + self.param("out_proj_bias", nn.initializers.zeros,
+                                   (self.d_model,)).astype(self.dtype)
+        return out
+
+
+class MambaBlock(nn.Module):
+    """Add → Norm → Mixer block with fp32 residual stream.
+
+    Matches the reference Block (mamba_models.py:30-102): takes
+    (hidden, residual), returns (mixer_out, residual + hidden) where the norm
+    is applied to the fp32 residual sum.
+    """
+
+    d_model: int
+    norm_epsilon: float = 1e-5
+    rms_norm: bool = True
+    residual_in_fp32: bool = True
+    bimamba_type: str = "v2"
+    if_devide_out: bool = True
+    d_state: int = 16
+    n_layer: int = 24
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Optional[bool] = None
+    model_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden, residual=None):
+        norm_w = self.param("norm_weight", nn.initializers.ones,
+                            (self.d_model,))
+        norm_b = (None if self.rms_norm else
+                  self.param("norm_bias", nn.initializers.zeros,
+                             (self.d_model,)))
+        normed, residual = fused_add_norm(
+            hidden, norm_w.astype(self.dtype), norm_b, residual=residual,
+            prenorm=True, residual_in_fp32=self.residual_in_fp32,
+            eps=self.norm_epsilon,
+            norm_type="rms" if self.rms_norm else "layer")
+        hidden = MambaMixer(
+            d_model=self.d_model, d_state=self.d_state,
+            bimamba_type=self.bimamba_type, if_devide_out=self.if_devide_out,
+            n_layer=self.n_layer, dtype=self.dtype,
+            use_kernel=self.use_kernel, model_axis=self.model_axis,
+            name="mixer")(normed)
+        return hidden, residual

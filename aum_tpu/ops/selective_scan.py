@@ -1,0 +1,494 @@
+"""Pallas TPU selective-scan (Mamba SSM) kernel with custom VJP.
+
+TPU-native replacement for the reference's CUDA ops `selective_scan_cuda.fwd`
+and `selective_scan_cuda.bwd` (wrapped at /root/reference/vim-mamba_ssm/
+mamba_ssm/ops/selective_scan_interface.py:37-84). Semantics match the
+pure-PyTorch oracle `selective_scan_ref` (same file, :86-152), re-expressed in
+the TPU-natural (batch, length, channel) layout; the jnp oracle lives in
+``aum_tpu.ops.scan_ref`` and is what the kernel is tested against.
+
+Design (see SURVEY.md §2.2 / §7):
+
+- Grid ``(d_tile, batch, l_chunk)`` with the length-chunk dimension innermost.
+  TPU grid steps execute sequentially on the core, so the SSM state is carried
+  across length chunks in a VMEM scratch buffer — a two-level scan: sequential
+  across chunks, vectorized within a chunk.
+- Within a chunk, everything parallelizable is hoisted out of the serial
+  chain: ``dt = softplus(delta + bias)``, the decay ``a = exp(dt ⊗ A)`` and
+  the input term ``dt·u ⊗ B`` are materialized for the whole chunk as
+  (L_c, N, d_b) VMEM tensors in one shot (vectorized exp!), the output
+  contraction ``y_t = Σ_n C_t x_t`` and the D-skip + SiLU(z) gating are
+  applied chunk-wide after the scan. The serial loop itself is a single
+  vector fma per step on an (N, d_b) tile — full-lane VPU work.
+- ``reverse=True`` runs the recurrence right-to-left by *indexing* chunks and
+  in-chunk steps in reverse — equivalent to flip→scan→flip (what the reference
+  does for the backward direction of bidirectional Mamba, mamba_simple.py:
+  229-246) with zero materialized flips.
+- Backward: a checkpointed adjoint scan (the analogue of the reference's
+  ``checkpoint_lvl=1`` recompute strategy, selective_scan_interface.py:218).
+  The forward saves only chunk-boundary states; the backward revisits chunks
+  in reverse processing order, recomputes in-chunk states with the same
+  two-level scan, then runs the adjoint recurrence
+  ``λ_t = C_t·gy_t + a_{t+1}·λ_{t+1}`` and forms all parameter/input grads
+  with chunk-wide vectorized contractions. dA/dD/ddelta_bias accumulate into
+  revisited output blocks; dB/dC are produced as per-d-tile partials and
+  reduced outside the kernel.
+
+The fused op covers: delta softplus+bias, discretization, scan, C-readout,
+D skip and SiLU(z) gating. The surrounding projections (in/x/dt/out_proj) stay
+in XLA where they map straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aum_tpu.ops.scan_ref import selective_scan_ref
+
+# Padding value for delta in padded length regions: softplus(-1e9 + bias) == 0
+# => decay a = exp(0) = 1 (state passes through), input term = 0.
+_NEG = -1e9
+
+
+def _largest_divisor_leq(n: int, target: int, step: int) -> int:
+    """Largest multiple of `step` that divides n and is <= target (or n itself)."""
+    if n <= target:
+        return n
+    best = step
+    d = step
+    while d <= target:
+        if n % d == 0:
+            best = d
+        d += step
+    return best
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_z(
+    u_ref, delta_ref, at_ref, b_ref, c_ref, d_ref, bias_ref, z_ref,
+    out_ref, xb_ref,
+    state_ref, a_scr, dbu_scr, x_scr,
+    *, l_chunk: int, reverse: bool, save_states: bool,
+):
+    """Forward kernel with fused D-skip and SiLU(z) gating."""
+    l = pl.program_id(2)
+
+    @pl.when(l == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    if save_states:
+        xb_ref[...] = state_ref[...][None, None]
+
+    u = u_ref[0].astype(jnp.float32)
+    delta = delta_ref[0].astype(jnp.float32)
+    a_t = at_ref[...].astype(jnp.float32)
+    bm = b_ref[0].astype(jnp.float32)
+    cm = c_ref[0].astype(jnp.float32)
+
+    dt = jax.nn.softplus(delta + bias_ref[...].astype(jnp.float32))
+
+    a_scr[...] = jnp.exp(dt[:, None, :] * a_t[None, :, :])
+    dbu_scr[...] = (dt * u)[:, None, :] * bm[:, :, None]
+
+    def body(i, x):
+        t = (l_chunk - 1 - i) if reverse else i
+        x = a_scr[t] * x + dbu_scr[t]
+        x_scr[t] = x
+        return x
+
+    state = jax.lax.fori_loop(0, l_chunk, body, state_ref[...],
+                              unroll=l_chunk)
+    state_ref[...] = state
+
+    y = jnp.sum(x_scr[...] * cm[:, :, None], axis=1)
+    ycore = y + d_ref[...].astype(jnp.float32) * u
+    zf = z_ref[0].astype(jnp.float32)
+    out_ref[...] = (ycore * _silu(zf))[None].astype(out_ref.dtype)
+
+
+def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
+                d_block, l_chunk, interpret):
+    bsz, l_pad, d = u.shape
+    n_pad = a_t.shape[0]
+    n_d = d // d_block
+    n_l = l_pad // l_chunk
+
+    def lmap(li):
+        return (n_l - 1 - li) if reverse else li
+
+    seq_spec = pl.BlockSpec(
+        (1, l_chunk, d_block), lambda di, bi, li: (bi, lmap(li), di),
+        memory_space=pltpu.VMEM)
+    bc_spec = pl.BlockSpec(
+        (1, l_chunk, n_pad), lambda di, bi, li: (bi, lmap(li), 0),
+        memory_space=pltpu.VMEM)
+    at_spec = pl.BlockSpec(
+        (n_pad, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec(
+        (1, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
+
+    out_shapes = [jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype)]
+    out_specs = [seq_spec]
+    if save_states:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bsz, n_l, n_pad, d), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, n_pad, d_block), lambda di, bi, li: (bi, li, 0, di),
+            memory_space=pltpu.VMEM))
+    else:
+        # Dummy 1-chunk-sized output so the kernel signature stays uniform.
+        out_shapes.append(jax.ShapeDtypeStruct((1, 1, n_pad, d), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
+            memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _fwd_kernel_z, l_chunk=l_chunk, reverse=reverse,
+        save_states=save_states)
+
+    flops_per_el = 10
+    cost = pl.CostEstimate(
+        flops=flops_per_el * bsz * l_pad * d * n_pad,
+        bytes_accessed=4 * bsz * l_pad * d * 4,
+        transcendentals=bsz * l_pad * d * n_pad,
+    )
+
+    out, xb = pl.pallas_call(
+        kernel,
+        grid=(n_d, bsz, n_l),
+        in_specs=[seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
+                  vec_spec, seq_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, d_block), jnp.float32),
+            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),
+            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),
+            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(u, delta, a_t, bm, cm, dsk, bias, z)
+    return out, xb
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    # inputs
+    u_ref, delta_ref, at_ref, b_ref, c_ref, d_ref, bias_ref, z_ref,
+    g_ref, xb_ref,
+    # outputs
+    du_ref, ddelta_ref, dz_ref, dat_ref, dd_ref, dbias_ref, dbp_ref, dcp_ref,
+    # scratch
+    lam_state, a_scr, x_scr, lam_scr, tmp_scr,
+    *, l_chunk: int, reverse: bool,
+):
+    di = pl.program_id(0)
+    bi = pl.program_id(1)
+    l = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(bi == 0, l == 0))
+    def _():
+        dat_ref[...] = jnp.zeros_like(dat_ref)
+        dd_ref[...] = jnp.zeros_like(dd_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(l == 0)
+    def _():
+        lam_state[...] = jnp.zeros_like(lam_state)
+
+    u = u_ref[0].astype(jnp.float32)            # (L_c, d_b)
+    delta = delta_ref[0].astype(jnp.float32)
+    a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
+    bm = b_ref[0].astype(jnp.float32)           # (L_c, N)
+    cm = c_ref[0].astype(jnp.float32)
+    zf = z_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)
+    dsk = d_ref[...].astype(jnp.float32)
+
+    sig = jax.nn.sigmoid(delta + bias)
+    dt = jax.nn.softplus(delta + bias)
+
+    # --- Recompute in-chunk states from the saved boundary state. -----------
+    a_scr[...] = jnp.exp(dt[:, None, :] * a_t[None, :, :])
+    tmp_scr[...] = (dt * u)[:, None, :] * bm[:, :, None]   # dBu
+
+    def fwd_body(i, x):
+        t = (l_chunk - 1 - i) if reverse else i
+        x = a_scr[t] * x + tmp_scr[t]
+        x_scr[t] = x
+        return x
+
+    x0 = xb_ref[0, 0].astype(jnp.float32)
+    jax.lax.fori_loop(0, l_chunk, fwd_body, x0, unroll=l_chunk)
+
+    # --- Recompute outputs of the chunk and gating grads. -------------------
+    y = jnp.sum(x_scr[...] * cm[:, :, None], axis=1)       # (L_c, d_b)
+    ycore = y + dsk * u
+    sigz = jax.nn.sigmoid(zf)
+    silz = zf * sigz
+    gy = g * silz                                          # dL/dy_t
+    dz = g * ycore * (sigz * (1.0 + zf * (1.0 - sigz)))
+    dz_ref[...] = dz[None].astype(dz_ref.dtype)
+    dd_ref[...] += jnp.sum(gy * u, axis=0, keepdims=True)
+
+    # --- Adjoint scan:  λ_t = C_t·gy_t + a_{t+1}·λ_{t+1}. -------------------
+    tmp_scr[...] = cm[:, :, None] * gy[:, None, :]          # CgY
+
+    def bwd_body(i, p):
+        # Iterate opposite to the forward scan direction.
+        t = i if reverse else (l_chunk - 1 - i)
+        lam = tmp_scr[t] + p
+        lam_scr[t] = lam
+        return a_scr[t] * lam
+
+    lam_state[...] = jax.lax.fori_loop(
+        0, l_chunk, bwd_body, lam_state[...], unroll=l_chunk)
+
+    # --- xprev (state one scan-step before t, in logical layout). -----------
+    xb0 = xb_ref[0, 0].astype(jnp.float32)[None]            # (1, N, d_b)
+    if reverse:
+        xprev = jnp.concatenate([x_scr[1:], xb0], axis=0)
+    else:
+        xprev = jnp.concatenate([xb0, x_scr[: l_chunk - 1]], axis=0)
+
+    lam = lam_scr[...]
+    dla = lam * a_scr[...] * xprev                           # grad wrt dt⊗A
+    dat_ref[...] += jnp.sum(dt[:, None, :] * dla, axis=0)
+    gdtu = jnp.sum(lam * bm[:, :, None], axis=1)             # (L_c, d_b)
+    ddt = jnp.sum(dla * a_t[None], axis=1) + gdtu * u
+    ddelta = ddt * sig
+    ddelta_ref[...] = ddelta[None].astype(ddelta_ref.dtype)
+    dbias_ref[...] += jnp.sum(ddelta, axis=0, keepdims=True)
+    du_ref[...] = (gy * dsk + gdtu * dt)[None].astype(du_ref.dtype)
+    dbp_ref[...] = jnp.sum(
+        lam * (dt * u)[:, None, :], axis=2)[None, None]      # (L_c, N)
+    dcp_ref[...] = jnp.sum(
+        x_scr[...] * gy[:, None, :], axis=2)[None, None]
+
+
+def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
+                reverse, d_block, l_chunk, interpret):
+    bsz, l_pad, d = u.shape
+    n_pad = a_t.shape[0]
+    n_d = d // d_block
+    n_l = l_pad // l_chunk
+
+    # Backward visits chunks in reverse processing order; data index maps go
+    # through processing order p = n_l-1-l, logical chunk c = p (forward scan)
+    # or n_l-1-p (reverse scan).
+    def cmap(li):
+        p = n_l - 1 - li
+        return (n_l - 1 - p) if reverse else p
+
+    seq_spec = pl.BlockSpec(
+        (1, l_chunk, d_block), lambda di, bi, li: (bi, cmap(li), di),
+        memory_space=pltpu.VMEM)
+    bc_spec = pl.BlockSpec(
+        (1, l_chunk, n_pad), lambda di, bi, li: (bi, cmap(li), 0),
+        memory_space=pltpu.VMEM)
+    at_spec = pl.BlockSpec(
+        (n_pad, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec(
+        (1, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
+    xb_spec = pl.BlockSpec(
+        (1, 1, n_pad, d_block), lambda di, bi, li: (bi, n_l - 1 - li, 0, di),
+        memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec(
+        (1, 1, l_chunk, n_pad), lambda di, bi, li: (di, bi, cmap(li), 0),
+        memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_bwd_kernel, l_chunk=l_chunk, reverse=reverse)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype),        # du
+        jax.ShapeDtypeStruct((bsz, l_pad, d), delta.dtype),    # ddelta
+        jax.ShapeDtypeStruct((bsz, l_pad, d), z.dtype),        # dz
+        jax.ShapeDtypeStruct((n_pad, d), jnp.float32),         # dA_T
+        jax.ShapeDtypeStruct((1, d), jnp.float32),             # dD
+        jax.ShapeDtypeStruct((1, d), jnp.float32),             # dbias
+        jax.ShapeDtypeStruct((n_d, bsz, l_pad, n_pad), jnp.float32),  # dB part
+        jax.ShapeDtypeStruct((n_d, bsz, l_pad, n_pad), jnp.float32),  # dC part
+    ]
+    out_specs = [seq_spec, seq_spec, seq_spec, at_spec, vec_spec, vec_spec,
+                 part_spec, part_spec]
+
+    cost = pl.CostEstimate(
+        flops=30 * bsz * l_pad * d * n_pad,
+        bytes_accessed=8 * bsz * l_pad * d * 4,
+        transcendentals=2 * bsz * l_pad * d * n_pad,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_d, bsz, n_l),
+        in_specs=[seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
+                  vec_spec, seq_spec, seq_spec, xb_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, d_block), jnp.float32),             # λ carry
+            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # a
+            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # x
+            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # λ
+            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # dBu/CgY
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(u, delta, a_t, bm, cm, dsk, bias, z, g, xb)
+
+
+# ---------------------------------------------------------------------------
+# Padding / layout wrapper + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
+    """Pad L to a chunk multiple and N to a sublane multiple; pick tilings."""
+    bsz, l, d = u.shape
+    n = A.shape[1]
+
+    d_block = _largest_divisor_leq(d, d_block_target, 128)
+    if d % 128 != 0:
+        d_block = _largest_divisor_leq(d, d_block_target, 8)
+
+    l_chunk = min(l_chunk_target, _round_up(l, 8))
+    l_pad = _round_up(l, l_chunk)
+    n_pad = max(8, _round_up(n, 8))
+
+    if l_pad != l:
+        pad = [(0, 0), (0, l_pad - l), (0, 0)]
+        u = jnp.pad(u, pad)
+        z = jnp.pad(z, pad)
+        delta = jnp.pad(delta, pad, constant_values=_NEG)
+        B = jnp.pad(B, [(0, 0), (0, l_pad - l), (0, 0)])
+        C = jnp.pad(C, [(0, 0), (0, l_pad - l), (0, 0)])
+    if n_pad != n:
+        B = jnp.pad(B, [(0, 0), (0, 0), (0, n_pad - n)])
+        C = jnp.pad(C, [(0, 0), (0, 0), (0, n_pad - n)])
+        A = jnp.pad(A, [(0, 0), (0, n_pad - n)], constant_values=-1.0)
+
+    a_t = jnp.swapaxes(A.astype(jnp.float32), 0, 1)  # (N_pad, D)
+    dsk = D.astype(jnp.float32)[None, :]
+    bias = (delta_bias if delta_bias is not None
+            else jnp.zeros((d,), jnp.float32)).astype(jnp.float32)[None, :]
+    return u, delta, a_t, B, C, dsk, bias, z, d_block, l_chunk, l, n
+
+
+@functools.cache
+def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
+               interpret: bool):
+    """Build a custom-VJP selective scan closed over static config."""
+
+    @jax.custom_vjp
+    def scan(u, delta, A, B, C, D, z, delta_bias):
+        up, dp, a_t, bp, cp, dsk, bias, zp, d_block, l_chunk, l, _ = _prep(
+            u, delta, A, B, C, D, z, delta_bias,
+            d_block_target, l_chunk_target)
+        out, _ = _fwd_pallas(
+            up, dp, a_t, bp, cp, dsk, bias, zp, reverse=reverse,
+            save_states=False, d_block=d_block, l_chunk=l_chunk,
+            interpret=interpret)
+        return out[:, :l]
+
+    def scan_fwd(u, delta, A, B, C, D, z, delta_bias):
+        up, dp, a_t, bp, cp, dsk, bias, zp, d_block, l_chunk, l, _ = _prep(
+            u, delta, A, B, C, D, z, delta_bias,
+            d_block_target, l_chunk_target)
+        out, xb = _fwd_pallas(
+            up, dp, a_t, bp, cp, dsk, bias, zp, reverse=reverse,
+            save_states=True, d_block=d_block, l_chunk=l_chunk,
+            interpret=interpret)
+        res = (up, dp, a_t, bp, cp, dsk, bias, zp, xb, d_block, l_chunk, l,
+               A.shape[1], delta_bias is not None)
+        return out[:, :l], res
+
+    def scan_bwd(res, gout):
+        (up, dp, a_t, bp, cp, dsk, bias, zp, xb, d_block, l_chunk, l, n,
+         has_bias) = res
+        l_pad = up.shape[1]
+        if l_pad != l:
+            gout = jnp.pad(gout, [(0, 0), (0, l_pad - l), (0, 0)])
+        # The backward holds 4 (l_chunk, N, d_b) fp32 scratch buffers; pick a
+        # d-tile that keeps them within ~10MB of VMEM. The forward's saved
+        # boundary states are tiled over d by the BlockSpec, so the backward
+        # d-tile is independent of the forward's (only l_chunk must match).
+        d = up.shape[2]
+        n_pad = a_t.shape[0]
+        budget = (10 * 2**20) // (l_chunk * n_pad * 4 * 4)
+        bwd_target = min(d_block, max(128, (budget // 128) * 128))
+        bwd_block = _largest_divisor_leq(d, bwd_target, 128)
+        if d % 128 != 0:
+            bwd_block = d
+        du, ddelta, dz, dat, dd, dbias, dbp, dcp = _bwd_pallas(
+            up, dp, a_t, bp, cp, dsk, bias, zp, gout, xb, reverse=reverse,
+            d_block=bwd_block, l_chunk=l_chunk, interpret=interpret)
+        dA = jnp.swapaxes(dat, 0, 1)[:, :n]
+        dB = jnp.sum(dbp, axis=0)[:, :l, :n].astype(bp.dtype)
+        dC = jnp.sum(dcp, axis=0)[:, :l, :n].astype(cp.dtype)
+        ddb = dbias[0] if has_bias else None
+        return (du[:, :l], ddelta[:, :l], dA, dB, dC, dd[0],
+                dz[:, :l], ddb)
+
+    scan.defvjp(scan_fwd, scan_bwd)
+    return scan
+
+
+def selective_scan(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: jax.Array | None = None,
+    z: jax.Array | None = None,
+    delta_bias: jax.Array | None = None,
+    delta_softplus: bool = False,
+    reverse: bool = False,
+    d_block: int = 512,
+    l_chunk: int = 128,
+    use_kernel: bool | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused selective scan. See ``selective_scan_ref`` for semantics.
+
+    The Pallas kernel path requires ``delta_softplus=True`` and both D and z
+    (the configuration the AuM models always use, mamba_simple.py:195-263);
+    other combinations fall back to the jnp oracle, which XLA still compiles
+    to a reasonable sequential scan.
+    """
+    if use_kernel is None:
+        use_kernel = delta_softplus and D is not None and z is not None
+    if not use_kernel:
+        return selective_scan_ref(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+            reverse=reverse)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scan = _make_scan(bool(reverse), d_block, l_chunk, bool(interpret))
+    if delta_bias is None:
+        delta_bias = jnp.zeros((u.shape[-1],), jnp.float32)
+    return scan(u, delta, A, B, C, D, z, delta_bias)

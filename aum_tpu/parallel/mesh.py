@@ -1,0 +1,89 @@
+"""Device mesh + sharding layout for AuM training.
+
+The reference's only parallelism is NCCL data parallelism via HF Accelerate
+(SURVEY.md §2.3). The TPU-native design is richer:
+
+- a 2D ``jax.sharding.Mesh`` with axes ``('data', 'model')``;
+- **data parallelism**: batch sharded over 'data', gradients psum'd over ICI;
+- **tensor parallelism**: the Mamba mixer's ``d_inner`` dimension sharded
+  over 'model'. The selective scan is independent per channel, so TP needs
+  *zero* communication inside the scan kernel — the only collectives are two
+  small psums per mixer (after x_proj, which contracts d_inner to produce
+  dt/B/C, and after out_proj) — a design win unique to SSMs (SURVEY.md §2.3).
+
+``param_partition_specs`` maps the flax param tree to PartitionSpecs by leaf
+path; scanned layer stacks have a leading 'layers' axis which stays
+unsharded (it is a sequential scan).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# d_inner-sharded leaves of the Mamba mixer: leaf name -> index of the
+# d_inner axis in the *unstacked* (single-layer) parameter.
+_MIXER_D_INNER_AXIS = {
+    "in_proj_weight": 1,      # (d_model, 2*d_inner) — both halves sharded
+    "in_proj_bias": 0,
+    "conv1d_weight": 0,       # (d_inner, k)
+    "conv1d_bias": 0,
+    "conv1d_b_weight": 0,
+    "conv1d_b_bias": 0,
+    "x_proj_weight": 0,       # (d_inner, R+2N)
+    "x_proj_b_weight": 0,
+    "dt_proj_weight": 1,      # (R, d_inner)
+    "dt_proj_b_weight": 1,
+    "dt_proj_bias": 0,
+    "dt_proj_b_bias": 0,
+    "A_log": 0,               # (d_inner, N)
+    "A_b_log": 0,
+    "D": 0,
+    "D_b": 0,
+    "out_proj_weight": 0,     # (d_inner, d_model)
+}
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    assert n_data * n_model == n_total, (n_data, n_model, n_total)
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _leaf_spec(path: tuple, leaf, model_axis: str) -> P:
+    names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    leaf_name = names[-1]
+    stacked = "layers" in names  # nn.scan stacked params have a leading axis
+    if leaf_name in _MIXER_D_INNER_AXIS and any(
+            n == "mixer" for n in names):
+        axis = _MIXER_D_INNER_AXIS[leaf_name] + (1 if stacked else 0)
+        spec = [None] * leaf.ndim
+        spec[axis] = model_axis
+        return P(*spec)
+    return P()
+
+
+def param_partition_specs(params, model_axis: str = "model"):
+    """PartitionSpec pytree for the model params (TP over d_inner)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _leaf_spec(path, leaf, model_axis), params)
+
+
+def shard_params(params, mesh: Mesh, model_axis: str = "model"):
+    """Place params on the mesh according to the TP layout."""
+    specs = param_partition_specs(params, model_axis)
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)

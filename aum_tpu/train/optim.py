@@ -1,0 +1,103 @@
+"""Optimizer + LR schedules with the reference's exact semantics.
+
+Replicates /root/reference/src/traintest.py:
+
+- Adam with batch-size-scaled hyperparams (traintest.py:26-34):
+  betas = 1 - (1 - b) * bs_scale_factor for b in (0.95, 0.999),
+  eps = 1e-8 / sqrt(bs_scale_factor); weight decay is torch-Adam style
+  additive L2 on *all* params (added to the gradient before the moment
+  updates).
+- MultiStepLR per-epoch decay: milestones range(start, 1000, step), factor
+  `decay` (traintest.py:74). Epoch e (1-based) uses
+  decay^(#milestones <= e-1).
+- Step warmup (traintest.py:120-124): for global_step <= 1000//s, the lr is
+  re-set every (50//s) steps to (g / (1000//s)) * base — a staircase that
+  holds between updates (so lr(g) = (g - g % Q) / W * base).
+- EPIC variant (traintest.py:64-71, 107-117): linear warmup over 2 epochs
+  from 0.01*lr to lr, then lambda decay 1.0 / 0.05 / 0.01 at epochs 10/20.
+
+Everything is expressed as a pure lr(step) function so it jits into the
+update and runs on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHyperParams:
+    lr: float = 1e-5
+    weight_decay: float = 5e-7
+    bs_scale_factor: int = 1
+    warmup: bool = True
+    # MultiStepLR params (non-epic datasets)
+    lrscheduler_start: int = 2
+    lrscheduler_step: int = 1
+    lrscheduler_decay: float = 0.5
+    # loss: "BCE" | "CE"
+    loss: str = "BCE"
+    n_epochs: int = 5
+    epic: bool = False
+    epic_warmup_epochs: int = 2
+
+
+def _multistep_factor(epoch, start: int, step: int, decay: float):
+    """decay^(#milestones <= epoch-1), milestones = start, start+step, ..."""
+    e = epoch - 1  # torch scheduler's last_epoch at the time epoch e runs
+    count = jnp.where(e >= start, (e - start) // step + 1, 0)
+    return decay ** count.astype(jnp.float32)
+
+
+def _epic_factor(epoch):
+    return jnp.where(epoch < 11, 1.0, jnp.where(epoch < 21, 0.05, 0.01))
+
+
+def lr_at_step(hp: TrainHyperParams, step, steps_per_epoch: int):
+    """Learning rate at 0-based global step (jittable)."""
+    step = jnp.asarray(step)
+    epoch = step // steps_per_epoch + 1  # 1-based epoch
+    if hp.epic:
+        warm_steps = hp.epic_warmup_epochs * steps_per_epoch
+        warm_lr = hp.lr * 0.01 + step.astype(jnp.float32) * (
+            hp.lr - hp.lr * 0.01) / warm_steps
+        sched_lr = hp.lr * _epic_factor(epoch)
+        if not hp.warmup:
+            return sched_lr
+        return jnp.where(step < warm_steps, warm_lr, sched_lr)
+
+    sched_lr = hp.lr * _multistep_factor(
+        epoch, hp.lrscheduler_start, hp.lrscheduler_step, hp.lrscheduler_decay)
+    if not hp.warmup:
+        return sched_lr
+    w = 1000 // hp.bs_scale_factor
+    q = max(1, 50 // hp.bs_scale_factor)
+    warm_lr = ((step - step % q).astype(jnp.float32) / w) * hp.lr
+    return jnp.where(step <= w, warm_lr, sched_lr)
+
+
+def make_optimizer(
+    hp: TrainHyperParams,
+    steps_per_epoch: int,
+) -> optax.GradientTransformation:
+    """torch.optim.Adam-equivalent chain with the schedule baked in."""
+    s = hp.bs_scale_factor
+
+    def scale_beta(b):
+        return 1.0 - (1.0 - b) * s
+
+    def schedule(count):
+        return lr_at_step(hp, count, steps_per_epoch)
+
+    return optax.chain(
+        # torch Adam weight_decay: L2 added to the grad pre-moments.
+        optax.add_decayed_weights(hp.weight_decay),
+        optax.scale_by_adam(
+            b1=scale_beta(0.95), b2=scale_beta(0.999),
+            eps=1e-8 / (s ** 0.5)),
+        optax.scale_by_learning_rate(schedule),
+    )

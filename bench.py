@@ -1,0 +1,79 @@
+"""Benchmark: AuM-Base Fo-Bi eval throughput, clips/sec/chip on 10s clips.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+comparison point is an estimate of the reference PyTorch implementation's
+A100 eval throughput for AuM-Base on 10s clips: ~94.5 GFLOP/clip forward
+(92.1M params x 2 x 513 tokens) at fp16 with the measured ~15-25% MFU of the
+reference's many-kernel eval path on A100 (312 TFLOP/s peak) gives ~500-800
+clips/s; we use 650 clips/s. BASELINE.json's target is >=5x that on v5e.
+"""
+
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_CLIPS_PER_SEC = 650.0
+
+
+def main():
+    from aum_tpu.models import AudioMamba, AudioMambaConfig
+
+    cfg = AudioMambaConfig.from_variant(
+        "base", "Fo-Bi", num_classes=527, dtype="bfloat16")
+    model = AudioMamba(cfg)
+
+    bsz = int(os.environ.get("BENCH_BATCH", "32"))
+    x = jax.random.normal(jax.random.PRNGKey(1), (bsz, 1024, 128),
+                          jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+
+    # Timing harness note: the execution backend used here dispatches via a
+    # relay with ~50ms fixed overhead per synchronized call, and
+    # block_until_ready does not reliably await completion. So: run all
+    # iterations inside ONE jit with a data dependence chaining them (no
+    # elision possible), sync once via host transfer, and subtract the
+    # single-dispatch overhead measured with iters=0-equivalent.
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def many(params, x, n):
+        def body(_, carry):
+            x = carry
+            out = model.apply(params, x)
+            # Feed a scalar back so iterations are serialized.
+            return x + jnp.mean(out).astype(x.dtype) * 1e-12
+
+        return jnp.mean(jax.lax.fori_loop(0, n, body, x))
+
+    run = jax.jit(many, static_argnums=2)
+    # Fresh input per timed call: identical (executable, args) pairs can be
+    # served from a result cache by the backend.
+    float(run(params, x, 1))  # compile + warm
+    t1 = time.perf_counter()
+    float(run(params, x + 1.0, 1))
+    base = time.perf_counter() - t1
+
+    float(run(params, x + 2.0, iters + 1))  # compile the long version
+    t0 = time.perf_counter()
+    float(run(params, x + 3.0, iters + 1))
+    total = time.perf_counter() - t0
+    dt = max(total - base, 1e-9) / iters
+
+    clips_per_sec = bsz / dt
+    print(json.dumps({
+        "metric": "clips/sec/chip (10s AudioSet eval, AuM-Base Fo-Bi, bf16)",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding is
+exercised without TPU hardware (SURVEY.md §4). Pallas kernels automatically
+run in interpreter mode on CPU (see aum_tpu.ops.selective_scan).
+
+Note: the environment may pre-register a TPU backend at interpreter start via
+sitecustomize (JAX_PLATFORMS=axon), so simply setting env vars here is not
+enough — we override the platform through jax.config, which works as long as
+no computation has run yet.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

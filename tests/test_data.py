@@ -1,0 +1,132 @@
+"""Data pipeline: WAV decode, datafiles, on-device featurization, sampling."""
+
+import json
+import os
+import wave as wave_mod
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aum_tpu.audio import FbankConfig, fbank, mixup_waveforms, spec_augment
+from aum_tpu.data import (
+    AudioConf,
+    AudioJsonDataset,
+    BatchPipeline,
+    balanced_sample_weights,
+    load_wav,
+)
+
+
+def write_wav(path, wave, sr=16000):
+    data = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+    with wave_mod.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+@pytest.fixture()
+def tiny_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(8):
+        path = str(tmp_path / f"clip{i}.wav")
+        dur = rng.integers(8000, 20000)
+        write_wav(path, rng.standard_normal(dur) * 0.1)
+        entries.append({"wav": path, "labels": f"/m/{i % 3}"})
+    datafile = tmp_path / "data.json"
+    datafile.write_text(json.dumps({"data": entries}))
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text(
+        "index,mid,display_name\n" + "\n".join(
+            f"{i},/m/{i},class{i}" for i in range(3)))
+    conf = AudioConf(target_length=128, mixup=0.0, freqm=0, timem=0,
+                     mean=-5.0, std=4.0)
+    return AudioJsonDataset(str(datafile), conf, str(label_csv))
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(5000) * 0.2).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, wav)
+    got, sr = load_wav(path)
+    assert sr == 16000
+    np.testing.assert_allclose(got, np.clip(wav, -1, 1), atol=1e-4)
+
+
+def test_dataset_waveform_padding(tiny_dataset):
+    conf = tiny_dataset.conf
+    wave, n_frames = tiny_dataset.waveform(0)
+    assert wave.shape == (conf.target_samples,)
+    assert 0 < n_frames <= conf.target_length
+
+
+def test_featurize_matches_reference_pad_semantics(tiny_dataset):
+    """Device zero-pads fbank rows past n_frames — exactly the reference's
+    ZeroPad2d-on-fbank (dataloader.py:137-147), pre-normalization."""
+    conf = tiny_dataset.conf
+    wave, n_frames = tiny_dataset.waveform(1)
+    from aum_tpu.data.pipeline import make_featurize
+
+    feat = make_featurize(conf, train=False)
+    out = feat(jax.random.PRNGKey(0), wave[None], np.array([n_frames]),
+               np.zeros((1, 3), np.float32))
+    x = np.asarray(out["x"])[0]
+    assert x.shape == (conf.target_length, conf.num_mel_bins)
+    # Padded rows are (0 - mean) / (2 std) of 0 pre-norm:
+    expected_pad = (0.0 - conf.mean) / (2 * conf.std)
+    if n_frames < conf.target_length:
+        np.testing.assert_allclose(x[n_frames:], expected_pad, atol=1e-6)
+    # Real rows match a direct fbank of the unpadded wave.
+    direct = np.asarray(fbank(jnp.asarray(wave), FbankConfig()))
+    direct = (direct - conf.mean) / (2 * conf.std)
+    np.testing.assert_allclose(x[:n_frames], direct[:n_frames], atol=2e-4)
+
+
+def test_pipeline_batches(tiny_dataset):
+    pipe = BatchPipeline(tiny_dataset, batch_size=4, train=True, seed=0,
+                         num_workers=2)
+    batches = list(pipe.batches(epoch=1))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["x"].shape == (4, 128, 128)
+        assert b["y"].shape == (4, 3)
+    # Deterministic per (seed, epoch); different across epochs.
+    again = list(pipe.batches(epoch=1))
+    np.testing.assert_allclose(np.asarray(batches[0]["x"]),
+                               np.asarray(again[0]["x"]))
+
+
+def test_balanced_weights(tiny_dataset):
+    w = balanced_sample_weights(tiny_dataset)
+    assert w.shape == (8,)
+    # class 0 appears 3x (clips 0,3,6), class 2 appears 2x (clips 2,5):
+    # rarer-class samples get larger weight.
+    assert w[2] > w[0]
+
+
+def test_mixup_labels_and_shapes():
+    key = jax.random.PRNGKey(0)
+    waves = jax.random.normal(jax.random.PRNGKey(1), (8, 4000))
+    labels = jax.nn.one_hot(jnp.arange(8) % 3, 3)
+    mixed, ml = mixup_waveforms(key, waves, labels, mixup_rate=1.0)
+    assert mixed.shape == waves.shape
+    np.testing.assert_allclose(np.asarray(ml.sum(1)), 1.0, atol=1e-5)
+    # rate 0 -> identity labels
+    _, ml0 = mixup_waveforms(key, waves, labels, mixup_rate=0.0)
+    np.testing.assert_allclose(np.asarray(ml0), np.asarray(labels))
+
+
+def test_spec_augment_masks_within_bounds():
+    key = jax.random.PRNGKey(3)
+    fb = jnp.ones((4, 100, 128))
+    out = np.asarray(spec_augment(key, fb, freq_mask_param=20,
+                                  time_mask_param=30))
+    assert out.shape == (4, 100, 128)
+    assert (out == 0).any()  # some masking happened
+    frac_masked = (out == 0).mean()
+    assert frac_masked < 0.5

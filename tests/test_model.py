@@ -1,0 +1,136 @@
+"""AudioMamba model: shapes, parameter-count parity, variant behavior.
+
+Param-count parity targets come from the reference README checkpoint tables
+(AuM-Base Fo-Bi 92.1M / AuM-Small Bi-Bi 25.5M at 527 classes,
+/root/reference/README.md:113,125) — the strongest architecture check we can
+do without weights (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aum_tpu.models import AudioMamba, AudioMambaConfig
+
+
+def n_params(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def _count(cfg):
+    model = AudioMamba(cfg)
+    f, t = cfg.spectrogram_size
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, t, f), jnp.float32))
+    return n_params(shapes)
+
+
+def test_param_count_base_fobi():
+    cfg = AudioMambaConfig.from_variant("base", "Fo-Bi", num_classes=527)
+    # Reference reports 92.1M (README.md:113).
+    total = _count(cfg)
+    assert abs(total - 92.1e6) < 0.05e6, f"param count {total}"
+
+
+def test_param_count_small_bibi():
+    cfg = AudioMambaConfig.from_variant("small", "Bi-Bi", num_classes=527)
+    # Reference reports 25.5M (README.md:125).
+    total = _count(cfg)
+    assert abs(total - 25.5e6) < 0.05e6, f"param count {total}"
+
+
+def test_param_count_other_variants():
+    # VGGSound AuM-Base Fo-Bi @309 classes: 91.9M; VoxCeleb @1251: 92.7M;
+    # SPC-V2 @35 classes with 1s audio (128x128 spectrogram): 91.4M
+    # (README.md:115-117; audio lengths from exps/*/aum-base_scratch-*.sh).
+    for n_class, tdim, target in [(309, 1024, 91.9e6), (1251, 1024, 92.7e6),
+                                  (35, 128, 91.4e6)]:
+        cfg = AudioMambaConfig.from_variant(
+            "base", "Fo-Bi", num_classes=n_class,
+            spectrogram_size=(128, tdim))
+        total = _count(cfg)
+        assert abs(total - target) < 0.05e6, (n_class, total)
+
+
+@pytest.mark.parametrize("aum_type", ["Fo-Fo", "Fo-Bi", "Bi-Bi"])
+def test_forward_shapes_variants(aum_type):
+    cfg = AudioMambaConfig.from_variant(
+        "tiny", aum_type, spectrogram_size=(128, 128), num_classes=35)
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128))
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (2, 35)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_cls_token_readout_positions():
+    # middle (default), end, front, double
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128))
+    for kw in [dict(use_middle_cls_token=True),
+               dict(use_middle_cls_token=False, use_end_cls_token=True),
+               dict(use_middle_cls_token=False),
+               dict(use_middle_cls_token=False, use_double_cls_token=True)]:
+        cfg = AudioMambaConfig(
+            depth=2, embed_dim=192, spectrogram_size=(128, 128),
+            num_classes=10, **kw)
+        model = AudioMamba(cfg, use_kernel=False)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (1, 10)
+
+
+def test_bidirectional_layer_pairing():
+    cfg = AudioMambaConfig(
+        depth=4, embed_dim=192, spectrogram_size=(128, 128),
+        num_classes=10, if_bidirectional=True, bimamba_type="none")
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 10)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_grad_flows():
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=192, spectrogram_size=(128, 128), num_classes=10)
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.mean(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    # The head and at least the mixer projections must receive gradient.
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert total > 0
+
+
+def test_bf16_forward():
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=192, spectrogram_size=(128, 128), num_classes=10,
+        dtype="bfloat16")
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_kernel_and_oracle_paths_agree():
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=192, spectrogram_size=(128, 128), num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128))
+    m_ref = AudioMamba(cfg, use_kernel=False)
+    m_ker = AudioMamba(cfg, use_kernel=True)
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    out_ref = m_ref.apply(params, x)
+    out_ker = m_ker.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_ker), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)

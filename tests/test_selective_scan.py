@@ -1,0 +1,91 @@
+"""Pallas selective-scan kernel vs the sequential jnp oracle.
+
+Mirrors the reference's oracle-based test strategy (SURVEY.md §4): the CUDA
+kernels there are checked against `selective_scan_ref`; here the Pallas kernel
+is checked against the jnp port of that oracle, forward and backward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aum_tpu.ops import selective_scan, selective_scan_ref
+
+
+def _make_inputs(key, bsz=2, l=37, d=24, n=8, dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    u = jax.random.normal(ks[0], (bsz, l, d), dtype)
+    delta = jax.random.normal(ks[1], (bsz, l, d), dtype) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n), jnp.float32) * 0.5)
+    B = jax.random.normal(ks[3], (bsz, l, n), dtype)
+    C = jax.random.normal(ks[4], (bsz, l, n), dtype)
+    D = jax.random.normal(ks[5], (d,), jnp.float32)
+    z = jax.random.normal(ks[6], (bsz, l, d), dtype)
+    delta_bias = jax.random.normal(ks[7], (d,), jnp.float32) * 0.3
+    return u, delta, A, B, C, D, z, delta_bias
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize(
+    "shape", [(2, 37, 24, 8), (1, 128, 128, 16), (2, 65, 48, 16)])
+def test_forward_matches_oracle(reverse, shape):
+    bsz, l, d, n = shape
+    args = _make_inputs(jax.random.PRNGKey(0), bsz, l, d, n)
+    ref = selective_scan_ref(*args, delta_softplus=True, reverse=reverse)
+    out = selective_scan(*args, delta_softplus=True, reverse=reverse,
+                         d_block=8, l_chunk=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_grads_match_oracle(reverse):
+    args = _make_inputs(jax.random.PRNGKey(1), bsz=2, l=37, d=24, n=8)
+
+    def loss_ref(*a):
+        out = selective_scan_ref(*a, delta_softplus=True, reverse=reverse)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_ker(*a):
+        out = selective_scan(*a, delta_softplus=True, reverse=reverse,
+                             d_block=8, l_chunk=16)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    g_ker = jax.grad(loss_ker, argnums=tuple(range(8)))(*args)
+    names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias"]
+    for name, gr, gk in zip(names, g_ref, g_ker):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_reverse_equals_flip_scan_flip():
+    args = _make_inputs(jax.random.PRNGKey(2))
+    u, delta, A, B, C, D, z, db = args
+    rev = selective_scan(u, delta, A, B, C, D, z, db, delta_softplus=True,
+                         reverse=True, d_block=8, l_chunk=16)
+    flipped = selective_scan_ref(
+        u[:, ::-1], delta[:, ::-1], A, B[:, ::-1], C[:, ::-1], D, z[:, ::-1],
+        db, delta_softplus=True)[:, ::-1]
+    np.testing.assert_allclose(np.asarray(rev), np.asarray(flipped),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_inputs():
+    args = _make_inputs(jax.random.PRNGKey(3), dtype=jnp.bfloat16)
+    ref = selective_scan_ref(*args, delta_softplus=True)
+    out = selective_scan(*args, delta_softplus=True, d_block=8, l_chunk=16)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2)
+
+
+def test_fallback_no_z():
+    u, delta, A, B, C, D, _, db = _make_inputs(jax.random.PRNGKey(4))
+    out = selective_scan(u, delta, A, B, C, D, None, db, delta_softplus=True)
+    ref = selective_scan_ref(u, delta, A, B, C, D, None, db,
+                             delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

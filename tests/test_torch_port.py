@@ -1,0 +1,225 @@
+"""Checkpoint porter: torch-layout state dict -> flax params equivalence.
+
+An independent numpy "reference executor" consumes a synthetic torch-layout
+AuM state dict and computes the forward pass exactly per the reference
+equations (mamba_models.py forward_features + mamba_simple.py slow path +
+selective_scan_ref). The ported flax model must produce the same logits.
+This is the activation-level golden test SURVEY.md §4 calls for, without
+needing the reference's CUDA stack.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aum_tpu.convert import port_aum_state_dict
+from aum_tpu.convert.torch_port import merge_with_init
+from aum_tpu.models import AudioMamba, AudioMambaConfig
+
+D_MODEL = 64
+D_STATE = 16
+D_INNER = 2 * D_MODEL
+DT_RANK = 4  # ceil(64/16)
+DEPTH = 2
+N_CLASS = 7
+PATCH = 16
+SPEC = (128, 128)  # F, T -> grid (8, 8) -> 64 patches
+
+
+def make_torch_style_sd(rng, bimamba_type="v1"):
+    def r(*shape, scale=0.1):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    sd = {
+        "cls_token": r(1, 1, D_MODEL),
+        "pos_embed.pos_embed": r(1, 65, D_MODEL),
+        "patch_embed.proj.weight": r(D_MODEL, 1, PATCH, PATCH),
+        "patch_embed.proj.bias": r(D_MODEL),
+        "norm_f.weight": 1.0 + r(D_MODEL),
+        "head.weight": r(N_CLASS, D_MODEL),
+        "head.bias": r(N_CLASS),
+    }
+    for i in range(DEPTH):
+        p = f"layers.{i}.mixer."
+        sd[f"layers.{i}.norm.weight"] = 1.0 + r(D_MODEL)
+        sd[p + "in_proj.weight"] = r(2 * D_INNER, D_MODEL)
+        sd[p + "conv1d.weight"] = r(D_INNER, 1, 4)
+        sd[p + "conv1d.bias"] = r(D_INNER)
+        sd[p + "x_proj.weight"] = r(DT_RANK + 2 * D_STATE, D_INNER)
+        sd[p + "dt_proj.weight"] = r(D_INNER, DT_RANK)
+        sd[p + "dt_proj.bias"] = r(D_INNER) - 4.0
+        sd[p + "A_log"] = np.log(np.tile(
+            np.arange(1, D_STATE + 1, dtype=np.float32), (D_INNER, 1)))
+        sd[p + "D"] = 1.0 + r(D_INNER)
+        sd[p + "out_proj.weight"] = r(D_MODEL, D_INNER)
+        if bimamba_type in ("v1", "v2"):
+            sd[p + "A_b_log"] = sd[p + "A_log"] + 0.1
+        if bimamba_type == "v2":
+            sd[p + "conv1d_b.weight"] = r(D_INNER, 1, 4)
+            sd[p + "conv1d_b.bias"] = r(D_INNER)
+            sd[p + "x_proj_b.weight"] = r(DT_RANK + 2 * D_STATE, D_INNER)
+            sd[p + "dt_proj_b.weight"] = r(D_INNER, DT_RANK)
+            sd[p + "dt_proj_b.bias"] = r(D_INNER) - 4.0
+            sd[p + "D_b"] = 1.0 + r(D_INNER)
+    return sd
+
+
+# --- Independent numpy executor of the reference forward -------------------
+
+
+def np_softplus(x):
+    return np.logaddexp(0.0, x)
+
+
+def np_silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def np_rmsnorm(x, w, eps=1e-5):
+    var = np.mean(x.astype(np.float64) ** 2, axis=-1, keepdims=True)
+    return (x / np.sqrt(var + eps)) * w
+
+
+def np_causal_conv_silu(x, w, b):
+    """x: (L, D); w: (D, K); left pad K-1 (mamba slow path)."""
+    l, d = x.shape
+    k = w.shape[1]
+    xp = np.concatenate([np.zeros((k - 1, d), x.dtype), x], axis=0)
+    out = np.zeros_like(x)
+    for t in range(l):
+        out[t] = (xp[t:t + k] * w.T).sum(axis=0) + b
+    return np_silu(out)
+
+
+def np_selective_scan(u, dt, A, B, C, Dv, z):
+    """u,dt,z: (L, D); A: (D,N); B,C: (L,N). selective_scan_ref equations."""
+    l, d = u.shape
+    n = A.shape[1]
+    x = np.zeros((d, n))
+    ys = np.zeros((l, d))
+    for t in range(l):
+        da = np.exp(dt[t][:, None] * A)
+        x = da * x + (dt[t] * u[t])[:, None] * B[t][None, :]
+        ys[t] = x @ C[t]
+    out = ys + u * Dv[None, :]
+    return out * np_silu(z)
+
+
+def np_mixer(x, sd, p, bimamba_type):
+    """x: (L, D_MODEL) -> (L, D_MODEL), reference slow path + bimamba."""
+    xz = x @ sd[p + "in_proj.weight"].T
+    xs, z = xz[:, :D_INNER], xz[:, D_INNER:]
+
+    def branch(xs_b, z_b, suffix, a_key, reverse):
+        if reverse:
+            xs_b, z_b = xs_b[::-1], z_b[::-1]
+        xc = np_causal_conv_silu(
+            xs_b, sd[p + f"conv1d{suffix}.weight"][:, 0, :],
+            sd[p + f"conv1d{suffix}.bias"])
+        x_dbl = xc @ sd[p + f"x_proj{suffix}.weight"].T
+        dt = x_dbl[:, :DT_RANK] @ sd[p + f"dt_proj{suffix}.weight"].T
+        dt = np_softplus(dt + sd[p + f"dt_proj{suffix}.bias"])
+        B = x_dbl[:, DT_RANK:DT_RANK + D_STATE]
+        C = x_dbl[:, DT_RANK + D_STATE:]
+        A = -np.exp(sd[p + a_key])
+        y = np_selective_scan(xc, dt, A, B, C,
+                              sd[p + ("D" if suffix == "" else "D_b")], z_b)
+        return y[::-1] if reverse else y
+
+    if bimamba_type == "none":
+        y = branch(xs, z, "", "A_log", False)
+    elif bimamba_type == "v1":
+        # v1: same conv/proj activations, second scan on flipped seq with A_b
+        xc = np_causal_conv_silu(xs, sd[p + "conv1d.weight"][:, 0, :],
+                                 sd[p + "conv1d.bias"])
+        x_dbl = xc @ sd[p + "x_proj.weight"].T
+        dt = np_softplus(x_dbl[:, :DT_RANK] @ sd[p + "dt_proj.weight"].T
+                         + sd[p + "dt_proj.bias"])
+        B = x_dbl[:, DT_RANK:DT_RANK + D_STATE]
+        C = x_dbl[:, DT_RANK + D_STATE:]
+        A = -np.exp(sd[p + "A_log"])
+        A_b = -np.exp(sd[p + "A_b_log"])
+        y_f = np_selective_scan(xc, dt, A, B, C, sd[p + "D"], z)
+        y_b = np_selective_scan(xc[::-1], dt[::-1], A_b, B[::-1], C[::-1],
+                                sd[p + "D"], z[::-1])[::-1]
+        y = y_f + y_b
+    elif bimamba_type == "v2":
+        y_f = branch(xs, z, "", "A_log", False)
+        y_b = branch(xs, z, "_b", "A_b_log", True)
+        y = (y_f + y_b) / 2.0  # if_devide_out
+    return y @ sd[p + "out_proj.weight"].T
+
+
+def np_reference_forward(spec, sd, bimamba_type):
+    """spec: (T, F) -> logits (N_CLASS,). mamba_models.forward_features."""
+    x = spec.T  # (F, T)
+    f, t = x.shape
+    gh, gw = f // PATCH, t // PATCH
+    w = sd["patch_embed.proj.weight"]  # (D,1,ph,pw)
+    tokens = np.zeros((gh * gw, D_MODEL))
+    for i in range(gh):
+        for j in range(gw):
+            patch = x[i * PATCH:(i + 1) * PATCH, j * PATCH:(j + 1) * PATCH]
+            tokens[i * gw + j] = (w[:, 0] * patch[None]).sum(
+                axis=(1, 2)) + sd["patch_embed.proj.bias"]
+    n = tokens.shape[0]
+    tp = n // 2
+    seq = np.concatenate(
+        [tokens[:tp], sd["cls_token"][0], tokens[tp:]], axis=0)
+    pos = sd["pos_embed.pos_embed"][0]
+    # prefix layout: cls pos at index 0, grid after.
+    seq[tp] += pos[0]
+    seq[:tp] += pos[1:tp + 1]
+    seq[tp + 1:] += pos[tp + 1:]
+
+    hidden, residual = seq, None
+    for i in range(DEPTH):
+        residual = hidden if residual is None else residual + hidden
+        normed = np_rmsnorm(residual, sd[f"layers.{i}.norm.weight"])
+        hidden = np_mixer(normed, sd, f"layers.{i}.mixer.", bimamba_type)
+    final = np_rmsnorm(residual + hidden, sd["norm_f.weight"])
+    cls = final[tp]
+    return cls @ sd["head.weight"].T + sd["head.bias"]
+
+
+@pytest.mark.parametrize("bimamba_type", ["none", "v1", "v2"])
+def test_ported_checkpoint_matches_reference_math(bimamba_type):
+    rng = np.random.default_rng(42)
+    sd = make_torch_style_sd(rng, bimamba_type)
+    spec = (rng.standard_normal((SPEC[1], SPEC[0])) * 0.5).astype(np.float32)
+
+    ref_logits = np_reference_forward(spec.astype(np.float64), sd,
+                                      bimamba_type)
+
+    cfg = AudioMambaConfig(
+        spectrogram_size=SPEC, patch_size=(PATCH, PATCH),
+        strides=(PATCH, PATCH), depth=DEPTH, embed_dim=D_MODEL,
+        num_classes=N_CLASS, bimamba_type=bimamba_type)
+    model = AudioMamba(cfg, use_kernel=False)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + SPEC[::-1]))
+    ported = port_aum_state_dict(sd, cfg)
+    params = merge_with_init(ported, init)
+    out = np.asarray(model.apply(params, jnp.asarray(spec)[None]))[0]
+
+    np.testing.assert_allclose(out, ref_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_port_resamples_pos_embed_and_head_drop():
+    rng = np.random.default_rng(0)
+    sd = make_torch_style_sd(rng, "v1")
+    # Target config with a longer time axis (8x16 grid) and different classes.
+    cfg = AudioMambaConfig(
+        spectrogram_size=(128, 256), patch_size=(PATCH, PATCH),
+        strides=(PATCH, PATCH), depth=DEPTH, embed_dim=D_MODEL,
+        num_classes=13, bimamba_type="v1")
+    ported = port_aum_state_dict(sd, cfg)
+    pos = ported["params"]["pos_embed"]["pos_embed"]
+    assert pos.shape == (1, 1 + 8 * 16, D_MODEL)
+    assert "head_weight" not in ported["params"]  # class mismatch -> dropped
+    model = AudioMamba(cfg, use_kernel=False)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 256, 128), jnp.float32))
+    params = merge_with_init(ported, init)
+    out = model.apply(params, jnp.zeros((1, 256, 128)))
+    assert out.shape == (1, 13)

@@ -1,0 +1,142 @@
+"""Optimizer/schedule semantics, metrics, and an end-to-end training slice."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aum_tpu.models import AudioMamba, AudioMambaConfig
+from aum_tpu.parallel import make_mesh
+from aum_tpu.train import (
+    TrainHyperParams,
+    calculate_stats,
+    evaluate,
+    lr_at_step,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from aum_tpu.train.loop import AugmentConfig, init_train_state
+
+
+def test_lr_schedule_multistep_and_warmup():
+    hp = TrainHyperParams(lr=1e-4, lrscheduler_start=2, lrscheduler_step=1,
+                          lrscheduler_decay=0.5, warmup=True)
+    spe = 2000
+    # During warmup (step <= 1000): staircase every 50 steps.
+    assert float(lr_at_step(hp, 0, spe)) == 0.0
+    assert np.isclose(float(lr_at_step(hp, 49, spe)), 0.0)
+    assert np.isclose(float(lr_at_step(hp, 50, spe)), 50 / 1000 * 1e-4)
+    assert np.isclose(float(lr_at_step(hp, 999, spe)), 950 / 1000 * 1e-4)
+    assert np.isclose(float(lr_at_step(hp, 1000, spe)), 1e-4)
+    # After warmup, epoch 1 (steps < 2000): base lr.
+    assert np.isclose(float(lr_at_step(hp, 1500, spe)), 1e-4)
+    # Epoch 2 (torch: milestones [2,3,...], epoch e uses #m <= e-1): still base.
+    assert np.isclose(float(lr_at_step(hp, 2500, spe)), 1e-4)
+    # Epoch 3: one milestone (2) passed -> 0.5x.
+    assert np.isclose(float(lr_at_step(hp, 4500, spe)), 0.5e-4)
+    # Epoch 4: milestones 2,3 -> 0.25x.
+    assert np.isclose(float(lr_at_step(hp, 6500, spe)), 0.25e-4)
+
+
+def test_lr_schedule_epic():
+    hp = TrainHyperParams(lr=1e-3, epic=True, warmup=True)
+    spe = 100
+    w = 2 * spe
+    assert np.isclose(float(lr_at_step(hp, 0, spe)), 1e-3 * 0.01)
+    assert np.isclose(float(lr_at_step(hp, w - 1, spe)),
+                      1e-3 * 0.01 + (w - 1) * (1e-3 - 1e-5) / w)
+    assert np.isclose(float(lr_at_step(hp, w, spe)), 1e-3)
+    # epoch 11 -> 0.05x, epoch 21 -> 0.01x
+    assert np.isclose(float(lr_at_step(hp, 10 * spe, spe)), 1e-3 * 0.05)
+    assert np.isclose(float(lr_at_step(hp, 20 * spe, spe)), 1e-3 * 0.01)
+
+
+def test_adam_matches_torch_semantics():
+    """Our optax chain must reproduce torch.optim.Adam with weight_decay."""
+    import torch
+
+    hp = TrainHyperParams(lr=1e-3, weight_decay=0.01, warmup=False,
+                          lrscheduler_start=1000)
+    tx = make_optimizer(hp, steps_per_epoch=10**9)
+
+    w0 = np.random.default_rng(0).standard_normal((5, 3)).astype(np.float32)
+    grads = [np.random.default_rng(i + 1).standard_normal((5, 3))
+             .astype(np.float32) for i in range(5)]
+
+    # torch
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=1e-3, weight_decay=0.01,
+                           betas=(0.95, 0.999), eps=1e-8)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        opt.step()
+
+    # ours
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               wt.detach().numpy(), rtol=2e-5, atol=2e-6)
+
+
+def test_metrics_against_sklearn():
+    rng = np.random.default_rng(0)
+    scores = rng.random((64, 5)).astype(np.float32)
+    targets = (rng.random((64, 5)) < 0.3).astype(np.float32)
+    targets[targets.sum(1) == 0, 0] = 1.0
+    stats = calculate_stats(scores, targets)
+    from sklearn import metrics as skm
+
+    for k in range(5):
+        ap = skm.average_precision_score(targets[:, k], scores[:, k])
+        assert np.isclose(stats[k]["AP"], ap), k
+
+
+def test_end_to_end_training_decreases_loss():
+    """Tiny synthetic classification must be learnable (loss decreases and
+    accuracy exceeds chance) through the full sharded train step."""
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=96, spectrogram_size=(128, 64), num_classes=4,
+        d_state=8)
+    model = AudioMamba(cfg, use_kernel=False)
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    hp = TrainHyperParams(lr=2e-3, warmup=False, lrscheduler_start=1000,
+                          weight_decay=0.0)
+    tx = make_optimizer(hp, steps_per_epoch=100)
+
+    rng = np.random.default_rng(0)
+    n, bsz = 64, 16
+    labels = rng.integers(0, 4, n)
+    # Class-dependent frequency bands make the task easy.
+    xs = rng.standard_normal((n, 64, 128)).astype(np.float32) * 0.1
+    for i, c in enumerate(labels):
+        xs[i, :, c * 32:(c + 1) * 32] += 1.0
+    ys = np.eye(4, dtype=np.float32)[labels]
+
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(xs[:1]), mesh=mesh)
+    step = make_train_step(model, tx, mesh, loss_type="CE",
+                           augment=AugmentConfig(), donate=False)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for it in range(30):
+        i = (it * bsz) % n
+        batch = {"x": jnp.asarray(xs[i:i + bsz]),
+                 "y": jnp.asarray(ys[i:i + bsz])}
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+    eval_step = make_eval_step(model, mesh)
+    metrics, scores, targets = evaluate(
+        eval_step, state.params,
+        [{"x": jnp.asarray(xs), "y": jnp.asarray(ys)}],
+        loss_type="CE", main_metric="acc")
+    assert metrics["acc"] > 0.5, metrics
