@@ -69,6 +69,8 @@ class AudioMambaConfig:
     bimamba_type: str = "v2"
     if_devide_out: bool = True
     if_bidirectional: bool = False
+    if_rope: bool = False
+    if_rope_residual: bool = False
     dtype: str = "float32"
 
     @property
@@ -168,6 +170,14 @@ class AudioMamba(nn.Module):
             d_state=cfg.d_state, n_layer=cfg.depth, dtype=dtype,
             use_kernel=self.use_kernel, model_axis=self.model_axis)
 
+        rope_bufs = None
+        if cfg.if_rope:
+            from aum_tpu.models.rope import rope_freqs_2d
+
+            cos, sin = rope_freqs_2d(cfg.embed_dim // 2, cfg.patch_grid,
+                                     cfg.patch_grid)
+            rope_bufs = (jnp.asarray(cos), jnp.asarray(sin))
+
         # The scan carry must keep a fixed pytree structure, so the residual
         # stream starts as zeros (equivalent to the reference's residual=None
         # first-block special case: residual' = 0 + hidden = hidden).
@@ -182,7 +192,10 @@ class AudioMamba(nn.Module):
                 metadata_params={nn.meta.PARTITION_NAME: "layers"},
             )
             (hidden, residual), _ = ScannedBlock(
-                block_kwargs=block_kwargs, name="layers")((x, res0), None)
+                block_kwargs=block_kwargs, rope_bufs=rope_bufs,
+                rope_residual=cfg.if_rope_residual,
+                n_prefix=cfg.num_prefix_tokens,
+                name="layers")((x, res0), None)
         else:
             # Paired forward/backward layers (mamba_models.py:624-638): layer
             # 2i on the sequence, layer 2i+1 on the reversed sequence, summed.
@@ -236,13 +249,30 @@ class AudioMamba(nn.Module):
 
 
 class _BlockCell(nn.Module):
-    """nn.scan cell wrapping one MambaBlock (carry = (hidden, residual))."""
+    """nn.scan cell wrapping one MambaBlock (carry = (hidden, residual)).
+
+    Per-layer RoPE (mamba_models.py:614-620) is applied to the hidden stream
+    (and optionally the residual) before the block when enabled.
+    """
 
     block_kwargs: dict
+    rope_bufs: Optional[tuple] = None
+    rope_residual: bool = False
+    n_prefix: int = 1
 
     @nn.compact
     def __call__(self, carry, _):
         hidden, residual = carry
+        if self.rope_bufs is not None:
+            from aum_tpu.models.rope import apply_rope
+
+            cos, sin = self.rope_bufs
+            hidden = apply_rope(hidden, cos.astype(hidden.dtype),
+                                sin.astype(hidden.dtype), self.n_prefix)
+            if self.rope_residual:
+                residual = apply_rope(residual, cos.astype(residual.dtype),
+                                      sin.astype(residual.dtype),
+                                      self.n_prefix)
         hidden, residual = MambaBlock(
             **self.block_kwargs, name="block")(hidden, residual)
         return (hidden, residual), None

@@ -1,0 +1,208 @@
+"""Experiment entry point — the reference's src/run.py rebuilt.
+
+Usage:
+    python -m aum_tpu.run --recipe speechcommands/aum-base_scratch \
+        --data-train train.json --data-val val.json [--data-eval eval.json] \
+        --label-csv labels.csv --exp-dir ./exp/spc [overrides...]
+
+Builds the datasets/pipelines, the AudioMamba model (with optional
+ImageNet-ViM or AuM-pretrain initialization via the checkpoint porter), the
+optimizer with the recipe's schedule, a ('data','model') mesh, and runs
+training with per-epoch validation and checkpointing — or evaluation only
+(`--run-type eval` with `--ckpt`).
+
+SpeechCommands keeps the reference's post-training protocol (run.py:334-375):
+after training, the best checkpoint is evaluated on the validation and test
+splits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="aum_tpu experiment runner")
+    p.add_argument("--recipe", required=True,
+                   help="recipe key from aum_tpu.configs.RECIPES")
+    p.add_argument("--data-train")
+    p.add_argument("--data-val")
+    p.add_argument("--data-eval")
+    p.add_argument("--label-csv", required=True)
+    p.add_argument("--exp-dir", required=True)
+    p.add_argument("--run-type", default="train", choices=["train", "eval"])
+    p.add_argument("--ckpt", help="checkpoint for --run-type eval "
+                                  "(orbax dir or torch .pth)")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="mesh model-axis size (TP)")
+    p.add_argument("--num-workers", type=int, default=8)
+    # recipe overrides: --set key=value (repeatable)
+    p.add_argument("--set", action="append", default=[],
+                   help="override recipe fields, e.g. --set lr=1e-4")
+    return p.parse_args(argv)
+
+
+def apply_overrides(cfg, overrides):
+    fields = {f.name: f.type for f in dataclasses.fields(cfg)}
+    kv = {}
+    for item in overrides:
+        k, v = item.split("=", 1)
+        k = k.replace("-", "_")
+        assert k in fields, f"unknown recipe field {k}"
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            kv[k] = v in ("1", "true", "True")
+        elif cur is None:
+            for cast in (int, float):
+                try:
+                    kv[k] = cast(v)
+                    break
+                except ValueError:
+                    continue
+            else:
+                kv[k] = v
+        else:
+            kv[k] = type(cur)(v)
+    return dataclasses.replace(cfg, **kv)
+
+
+def build_pipelines(cfg, args):
+    from aum_tpu.data import AudioJsonDataset, BatchPipeline, \
+        balanced_sample_weights
+
+    train_pipe = val_pipe = eval_pipe = None
+    if args.data_train:
+        ds = AudioJsonDataset(args.data_train, cfg.audio_conf(train=True),
+                              args.label_csv)
+        weights = balanced_sample_weights(ds) if cfg.bal else None
+        train_pipe = BatchPipeline(ds, cfg.batch_size, train=True,
+                                   weights=weights, seed=cfg.seed,
+                                   num_workers=args.num_workers)
+    if args.data_val:
+        ds = AudioJsonDataset(args.data_val, cfg.audio_conf(train=False),
+                              args.label_csv)
+        val_pipe = BatchPipeline(ds, cfg.batch_size * 2, train=False,
+                                 seed=cfg.seed, num_workers=args.num_workers)
+    if args.data_eval:
+        ds = AudioJsonDataset(args.data_eval, cfg.audio_conf(train=False),
+                              args.label_csv)
+        eval_pipe = BatchPipeline(ds, cfg.batch_size * 2, train=False,
+                                  seed=cfg.seed, num_workers=args.num_workers)
+    return train_pipe, val_pipe, eval_pipe
+
+
+def build_model_and_params(cfg, rng, example_x):
+    from aum_tpu.convert import (
+        load_torch_checkpoint,
+        port_aum_state_dict,
+        port_vim_imagenet_state_dict,
+    )
+    from aum_tpu.convert.torch_port import merge_with_init
+    from aum_tpu.models import AudioMamba
+
+    mcfg = cfg.model_config()
+    model = AudioMamba(mcfg)
+    params = model.init(rng, example_x)
+    if cfg.imagenet_pretrain_path:
+        sd = load_torch_checkpoint(cfg.imagenet_pretrain_path, "model")
+        params = merge_with_init(
+            port_vim_imagenet_state_dict(sd, mcfg), params)
+    elif cfg.aum_pretrain_path:
+        sd = load_torch_checkpoint(cfg.aum_pretrain_path)
+        params = merge_with_init(port_aum_state_dict(sd, mcfg), params)
+    return model, params
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from aum_tpu.configs import RECIPES
+    from aum_tpu.parallel import make_mesh
+    from aum_tpu.train import Checkpointer, evaluate, make_eval_step, \
+        make_optimizer
+    from aum_tpu.train.loop import TrainState, init_train_state, train_loop
+
+    cfg = apply_overrides(RECIPES[args.recipe], args.set)
+    os.makedirs(args.exp_dir, exist_ok=True)
+    with open(os.path.join(args.exp_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+    train_pipe, val_pipe, eval_pipe = build_pipelines(cfg, args)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev // args.n_model, n_model=args.n_model)
+
+    example = np.zeros((1, cfg.audio_length, cfg.melbins), np.float32)
+    model, params = build_model_and_params(
+        cfg, jax.random.PRNGKey(cfg.seed), example)
+
+    hp = cfg.train_hp()
+    spe = train_pipe.steps_per_epoch() if train_pipe else 1
+    tx = make_optimizer(hp, steps_per_epoch=max(spe, 1))
+
+    if args.run_type == "eval":
+        assert eval_pipe or val_pipe, "need --data-eval or --data-val"
+        if args.ckpt and args.ckpt.endswith(".pth"):
+            from aum_tpu.convert import load_torch_checkpoint, \
+                port_aum_state_dict
+            from aum_tpu.convert.torch_port import merge_with_init
+            sd = load_torch_checkpoint(args.ckpt)
+            params = merge_with_init(
+                port_aum_state_dict(sd, cfg.model_config()), params)
+        elif args.ckpt:
+            ckptr = Checkpointer(args.ckpt)
+            state = TrainState(step=0, params=params, opt_state=tx.init(params))
+            params = ckptr.restore("best", state).params
+        from aum_tpu.parallel import shard_params
+        params = shard_params(params, mesh)
+        eval_step = make_eval_step(model, mesh)
+        pipe = eval_pipe or val_pipe
+        metrics, scores, targets = evaluate(
+            eval_step, params, pipe.batches(), cfg.loss, cfg.metrics)
+        print(json.dumps({k: v for k, v in metrics.items()}, default=float))
+        np.savetxt(os.path.join(args.exp_dir, "predictions_eval.csv"),
+                   scores, delimiter=",")
+        with open(os.path.join(args.exp_dir, "stats_eval.pickle"), "wb") as f:
+            pickle.dump(metrics, f)
+        return metrics
+
+    assert train_pipe is not None and val_pipe is not None
+    state = init_train_state(model, tx, jax.random.PRNGKey(cfg.seed + 1),
+                             example, mesh=mesh)
+    if args.ckpt:  # resume
+        ckptr = Checkpointer(args.ckpt)
+        state = ckptr.restore("best", state)
+    ckptr = Checkpointer(os.path.join(args.exp_dir, "models"))
+
+    from aum_tpu.train.loop import AugmentConfig
+
+    state, history, best = train_loop(
+        model, tx, mesh,
+        train_batches=lambda e: train_pipe.batches(e),
+        eval_batches=lambda: val_pipe.batches(),
+        n_epochs=cfg.n_epochs, state=state,
+        rng=jax.random.PRNGKey(cfg.seed + 2),
+        loss_type=cfg.loss, main_metric=cfg.metrics,
+        augment=AugmentConfig(),  # augmentation handled on-device in pipeline
+        exp_dir=args.exp_dir, checkpointer=ckptr)
+    print(f"best epoch {best['epoch']}: {cfg.metrics}={best['main']:.4f}")
+
+    # SpeechCommands post-train eval on valid+test (run.py:334-375).
+    if cfg.dataset == "speechcommands" and eval_pipe is not None:
+        best_state = ckptr.restore("best", state)
+        eval_step = make_eval_step(model, mesh)
+        for split, pipe in [("valid", val_pipe), ("eval", eval_pipe)]:
+            m, _, _ = evaluate(eval_step, best_state.params, pipe.batches(),
+                               cfg.loss, cfg.metrics)
+            print(f"---------------evaluate on the {split} set----------"
+                  f"-----\nAccuracy: {m['acc']:.6f}\nAUC: {m['AUC']:.6f}")
+    return history
+
+
+if __name__ == "__main__":
+    main()

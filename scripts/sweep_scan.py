@@ -1,41 +1,64 @@
-"""Sweep selective-scan kernel tilings on the real TPU chip."""
+"""Sweep selective-scan kernel tilings on the real TPU chip.
 
-import sys, os, time, itertools
+Timing: N chained iterations inside one jit (data-dependent), one host-sync,
+minus a 1-iteration baseline — see .claude/skills/verify/SKILL.md for why
+(the relay backend caches identical runs and block_until_ready is unreliable).
+"""
+
+import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 from aum_tpu.ops import selective_scan
 
-def bench(bsz, l, d, n, d_block, l_chunk, iters=20):
+
+def timed(fn, *args, iters=10):
+    def many(n, *args):
+        def body(_, a):
+            x = a[0]
+            out = fn(*a)
+            x = x + jnp.mean(out).astype(x.dtype) * 1e-12
+            return (x,) + a[1:]
+        return jnp.mean(jax.lax.fori_loop(0, n, body, args)[0])
+
+    run = jax.jit(many, static_argnums=0)
+    float(run(1, *args))  # compile short
+    a2 = (args[0] + 1.0,) + args[1:]
+    t0 = time.perf_counter(); float(run(1, *a2)); base = time.perf_counter() - t0
+    a3 = (args[0] + 2.0,) + args[1:]
+    float(run(iters + 1, *a3))  # compile long
+    a4 = (args[0] + 3.0,) + args[1:]
+    t0 = time.perf_counter(); float(run(iters + 1, *a4))
+    total = time.perf_counter() - t0
+    return max(total - base, 0.0) / iters
+
+
+def make_args(bsz, l, d, n, dtype=jnp.float32):
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
-    u = jax.random.normal(ks[0], (bsz, l, d), jnp.float32)
-    delta = jax.random.normal(ks[1], (bsz, l, d), jnp.float32) * 0.5
-    A = -jnp.exp(jax.random.normal(ks[2], (d, n), jnp.float32) * 0.5)
-    B = jax.random.normal(ks[3], (bsz, l, n), jnp.float32)
-    C = jax.random.normal(ks[4], (bsz, l, n), jnp.float32)
-    D = jax.random.normal(ks[5], (d,), jnp.float32)
-    z = jax.random.normal(ks[6], (bsz, l, d), jnp.float32)
-    db = jax.random.normal(ks[7], (d,), jnp.float32) * 0.3
-    fn = jax.jit(lambda *a: selective_scan(
-        *a, delta_softplus=True, d_block=d_block, l_chunk=l_chunk))
-    args = (u, delta, A, B, C, D, z, db)
-    t0 = time.time()
-    fn(*args).block_until_ready()
-    compile_t = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
-    dt = (time.time() - t0) / iters
-    print(f"B={bsz} L={l} D={d} d_block={d_block} l_chunk={l_chunk}: "
-          f"{dt*1e3:.2f} ms  (compile {compile_t:.0f}s)", flush=True)
+    return (jax.random.normal(ks[0], (bsz, l, d), dtype),
+            jax.random.normal(ks[1], (bsz, l, d), dtype) * 0.5,
+            -jnp.exp(jax.random.normal(ks[2], (d, n), jnp.float32) * 0.5),
+            jax.random.normal(ks[3], (bsz, l, n), dtype),
+            jax.random.normal(ks[4], (bsz, l, n), dtype),
+            jax.random.normal(ks[5], (d,), jnp.float32),
+            jax.random.normal(ks[6], (bsz, l, d), dtype),
+            jax.random.normal(ks[7], (d,), jnp.float32) * 0.3)
+
 
 if __name__ == "__main__":
-    for d_block, l_chunk in [(512, 128), (256, 64), (512, 256), (768, 128),
-                             (1536, 64)]:
-        try:
-            bench(8, 513, 1536, 16, d_block, l_chunk)
-        except Exception as e:
-            print(f"d_block={d_block} l_chunk={l_chunk} FAILED: "
-                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+    bsz, l, d, n = 8, 513, 1536, 16
+    configs = eval(sys.argv[1]) if len(sys.argv) > 1 else [
+        (512, 128), (512, 256), (768, 64), (1536, 32), (256, 128)]
+    for dtype in [jnp.float32, jnp.bfloat16]:
+        args = make_args(bsz, l, d, n, dtype)
+        for d_block, l_chunk in configs:
+            try:
+                fn = lambda *a: selective_scan(
+                    *a, delta_softplus=True, d_block=d_block, l_chunk=l_chunk)
+                dt = timed(fn, *args)
+                print(f"{dtype.__name__} d_block={d_block} l_chunk={l_chunk}: "
+                      f"{dt*1e3:.2f} ms", flush=True)
+            except Exception as e:
+                print(f"{dtype.__name__} d_block={d_block} l_chunk={l_chunk} "
+                      f"FAILED: {str(e)[:150]}", flush=True)

@@ -1,0 +1,93 @@
+"""End-to-end experiment runner: train + eval through the CLI entry point.
+
+Uses the SpeechCommands recipe on a synthetic WAV dataset with a
+depth-override so the whole run.py path (datafiles -> pipeline -> model ->
+train loop -> checkpoints -> eval artifacts) executes on CPU in seconds.
+"""
+
+import json
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from aum_tpu.configs import RECIPES, ExperimentConfig
+
+
+def write_wav(path, wave, sr=16000):
+    data = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+    with wave_mod.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+@pytest.fixture()
+def spc_like_data(tmp_path):
+    rng = np.random.default_rng(0)
+    labels = [f"/m/word{i}" for i in range(4)]
+    files = {}
+    for split, n in [("train", 16), ("valid", 8), ("eval", 8)]:
+        entries = []
+        for i in range(n):
+            path = str(tmp_path / f"{split}{i}.wav")
+            cls = i % 4
+            wav = rng.standard_normal(16000) * 0.05
+            t = np.arange(16000) / 16000
+            wav += 0.3 * np.sin(2 * np.pi * (300 + 700 * cls) * t)
+            write_wav(path, wav)
+            entries.append({"wav": path, "labels": labels[cls]})
+        f = tmp_path / f"{split}.json"
+        f.write_text(json.dumps({"data": entries}))
+        files[split] = str(f)
+    csv = tmp_path / "labels.csv"
+    csv.write_text("index,mid,display_name\n" + "\n".join(
+        f"{i},{m},w{i}" for i, m in enumerate(labels)))
+    files["csv"] = str(csv)
+    return files
+
+
+def test_recipes_are_wellformed():
+    for key, cfg in RECIPES.items():
+        mcfg = cfg.model_config()
+        assert mcfg.num_classes == cfg.n_class
+        assert cfg.audio_conf(True).target_length == cfg.audio_length
+        hp = cfg.train_hp()
+        assert hp.lr == cfg.lr
+
+
+def test_run_train_and_eval(spc_like_data, tmp_path):
+    from aum_tpu.run import main
+
+    exp_dir = str(tmp_path / "exp")
+    history = main([
+        "--recipe", "speechcommands/aum-base_scratch",
+        "--data-train", spc_like_data["train"],
+        "--data-val", spc_like_data["valid"],
+        "--data-eval", spc_like_data["eval"],
+        "--label-csv", spc_like_data["csv"],
+        "--exp-dir", exp_dir,
+        "--num-workers", "2",
+        "--set", "depth=2", "--set", "n_class=4", "--set", "batch_size=8",
+        "--set", "n_epochs=2", "--set", "model_type=tiny",
+        "--set", "dtype=float32", "--set", "noise=False",
+    ])
+    assert len(history) == 2
+    assert os.path.exists(os.path.join(exp_dir, "result.csv"))
+    assert os.path.exists(os.path.join(exp_dir, "config.json"))
+    assert os.path.exists(os.path.join(exp_dir, "models", "best.json"))
+
+    metrics = main([
+        "--recipe", "speechcommands/aum-base_scratch",
+        "--data-eval", spc_like_data["eval"],
+        "--label-csv", spc_like_data["csv"],
+        "--exp-dir", str(tmp_path / "expeval"),
+        "--run-type", "eval",
+        "--ckpt", os.path.join(exp_dir, "models"),
+        "--set", "depth=2", "--set", "n_class=4", "--set", "batch_size=8",
+        "--set", "model_type=tiny", "--set", "dtype=float32",
+    ])
+    assert 0.0 <= metrics["acc"] <= 1.0
+    assert os.path.exists(str(tmp_path / "expeval" / "stats_eval.pickle"))
