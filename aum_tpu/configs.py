@@ -25,6 +25,7 @@ SEEDS = [1741571, 1331626, 1116284, 1236867, 1751863, 1250406, 1156190,
 class ExperimentConfig:
     name: str
     dataset: str
+    model: str = "aum"                  # aum | ast
     model_type: str = "base"            # base | small | tiny
     aum_type: str = "Fo-Bi"             # Fo-Fo | Fo-Bi | Bi-Bi
     n_class: int = 527
@@ -133,6 +134,24 @@ RECIPES = {
         metrics="acc", loss="CE", warmup=True,
         dataset_mean=-6.627534, dataset_std=4.4917786),
 }
+
+
+def audioset_pretrained_variant(key: str, aum_ckpt: str) -> ExperimentConfig:
+    """exps/*/aum-base_audioset-*.sh: base Fo-Bi initialized from an
+    AudioSet-pretrained AuM checkpoint."""
+    base = RECIPES[key]
+    return dataclasses.replace(
+        base, name=base.name.replace("base_scratch", "base_audioset"),
+        aum_pretrain_path=aum_ckpt)
+
+
+def ast_variant(key: str, **kw) -> ExperimentConfig:
+    """exps/*/ast-*.sh: the AST baseline on the same recipe (run.py:196-223);
+    AST uses 10x10 strides by default (fstride/tstride flags)."""
+    base = RECIPES[key]
+    return dataclasses.replace(
+        base, name=base.name.replace("aum", "ast"), model="ast",
+        fstride=10, tstride=10, **kw)
 
 
 def small_imagenet_variant(key: str, vim_path: str) -> ExperimentConfig:

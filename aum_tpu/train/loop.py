@@ -206,24 +206,40 @@ def train_loop(
     checkpointer=None,
     log_every: int = 50,
     print_fn=print,
+    save_predictions: bool = False,
 ):
-    """Epoch loop: train, validate, track best, checkpoint (traintest.py:85-247)."""
+    """Epoch loop: train, validate, track best, checkpoint (traintest.py:85-247).
+
+    Artifacts per epoch under exp_dir (traintest.py:211-242, 311-316):
+    result.csv, progress.json, stats_<epoch>.pickle and (optionally)
+    predictions/predictions_<epoch>.csv + target.csv.
+    """
+    import pickle
+    import time as _time
+
     step_fn = make_train_step(model, tx, mesh, loss_type, augment, nan2num)
     eval_fn = make_eval_step(model, mesh)
     history = []
+    progress = []
     best = {"epoch": 0, "main": -np.inf}
     for epoch in range(1, n_epochs + 1):
         losses = []
+        t_epoch = _time.time()
+        n_clips = 0
         for i, batch in enumerate(train_batches(epoch)):
             rng, krun = jax.random.split(rng)
             state, loss = step_fn(state, batch, krun)
+            n_clips += int(batch["x"].shape[0])
             if (i + 1) % log_every == 0:
                 losses.append(float(loss))
                 print_fn(f"epoch {epoch} step {i+1}: loss {losses[-1]:.4f}")
-        metrics, _, _ = evaluate(
+        train_secs = _time.time() - t_epoch
+        metrics, scores, targets = evaluate(
             eval_fn, state.params, eval_batches(), loss_type, main_metric)
         metrics["epoch"] = epoch
         metrics["train_loss"] = float(np.mean(losses)) if losses else None
+        metrics["clips_per_sec"] = (n_clips / train_secs
+                                    if train_secs > 0 else 0.0)
         history.append(metrics)
         print_fn(f"epoch {epoch}: {metrics}")
         if metrics["main"] > best["main"]:
@@ -233,7 +249,25 @@ def train_loop(
         if checkpointer is not None:
             checkpointer.save_latest(state, epoch, metrics)
         if exp_dir is not None:
+            import json as _json
+            import os as _os
+
             _write_result_csv(exp_dir, history)
+            progress.append([epoch, int(state.step), best["epoch"],
+                             float(best["main"])])
+            with open(_os.path.join(exp_dir, "progress.json"), "w") as f:
+                _json.dump(progress, f)
+            with open(_os.path.join(exp_dir,
+                                    f"stats_{epoch}.pickle"), "wb") as f:
+                pickle.dump(metrics, f)
+            if save_predictions:
+                pdir = _os.path.join(exp_dir, "predictions")
+                _os.makedirs(pdir, exist_ok=True)
+                np.savetxt(_os.path.join(
+                    pdir, f"predictions_{epoch}.csv"), scores, delimiter=",")
+                if epoch == 1:
+                    np.savetxt(_os.path.join(pdir, "target.csv"), targets,
+                               delimiter=",")
     return state, history, best
 
 
@@ -247,3 +281,37 @@ def _write_result_csv(exp_dir: str, history):
         for m in history:
             f.write(f"{m['epoch']},{m['mAP']},{m['AUC']},{m['acc']},"
                     f"{m['d_prime']},{m['loss']},{m['train_loss']}\n")
+
+
+def evaluate_ensemble(
+    eval_step,
+    param_trees,
+    batches_fn,
+    loss_type: str = "BCE",
+    main_metric: str = "mAP",
+):
+    """Cumulative prediction-ensemble eval (`validate_ensemble`,
+    traintest.py:323-340): average sigmoid scores across checkpoints and
+    score the running ensemble after each one."""
+    cum = None
+    results = []
+    targets = None
+    for k, params in enumerate(param_trees, start=1):
+        _, scores, targets = evaluate(eval_step, params, batches_fn(),
+                                      loss_type, main_metric)
+        cum = scores if cum is None else cum + scores
+        stats = calculate_stats(cum / k, targets)
+        ap = np.nanmean([s["AP"] for s in stats])
+        results.append({"n_models": k, "mAP": float(ap),
+                        "acc": stats[0]["acc"]})
+    return results
+
+
+def average_ensemble_views(scores: np.ndarray, record_index: np.ndarray):
+    """Average test-time ensemble-view predictions per record (the EPIC
+    NUM_ENSEMBLE_VIEWS protocol, epic loader test split)."""
+    uniq = np.unique(record_index)
+    out = np.zeros((len(uniq), scores.shape[1]), scores.dtype)
+    for i, r in enumerate(uniq):
+        out[i] = scores[record_index == r].mean(axis=0)
+    return uniq, out

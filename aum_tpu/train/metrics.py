@@ -92,7 +92,8 @@ def _norm_ppf(p):
             (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1))
 
 
-def calculate_stats(output: np.ndarray, target: np.ndarray):
+def calculate_stats(output: np.ndarray, target: np.ndarray,
+                    full_curves: bool = False):
     """Per-class AP/AUC + global top-1 accuracy (stats.py:11-60).
 
     Args:
@@ -126,7 +127,18 @@ def calculate_stats(output: np.ndarray, target: np.ndarray):
         else:
             ap = _average_precision_np(yt > 0.5, ys)
             auc = _roc_auc_np(yt > 0.5, ys)
-        stats.append({"AP": ap, "auc": auc, "acc": acc})
+        entry = {"AP": ap, "auc": auc, "acc": acc}
+        if full_curves:
+            # 1:1000-downsampled PR and ROC curves (stats.py:30-57).
+            try:
+                pre, rec, _ = _skm.precision_recall_curve(yt, ys)
+                fpr, tpr, _ = _skm.roc_curve(yt, ys)
+                entry.update({
+                    "precisions": pre[0::1000], "recalls": rec[0::1000],
+                    "fpr": fpr[0::1000], "fnr": (1.0 - tpr)[0::1000]})
+            except Exception:
+                pass
+        stats.append(entry)
     return stats
 
 

@@ -1,0 +1,97 @@
+"""Auxiliary subsystems: ensemble eval, weight averaging, profiling meters,
+logging helpers (SURVEY.md §5)."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aum_tpu.logging_utils import log_json_stats, setup_logging
+from aum_tpu.train import average_params
+from aum_tpu.train.loop import average_ensemble_views, evaluate_ensemble
+from aum_tpu.train.profiling import StepTimer, annotate
+from aum_tpu.utils import AverageMeter
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0 and m.count == 2 and m.val == 3.0
+    m.reset()
+    assert m.count == 0
+
+
+def test_average_params():
+    trees = [{"a": np.full((2, 2), float(i)), "b": np.array([i * 2.0])}
+             for i in range(1, 4)]
+    avg = average_params(trees)
+    np.testing.assert_allclose(avg["a"], 2.0)
+    np.testing.assert_allclose(avg["b"], 4.0)
+
+
+def test_evaluate_ensemble_improves_with_complementary_models():
+    # Two "models" each perfect on half the classes: ensemble acc == 1.
+    targets = np.eye(4, dtype=np.float32)[np.arange(16) % 4]
+
+    def eval_step_factory(good_classes):
+        def eval_step(params, x):
+            del params
+            logits = np.full((x.shape[0], 4), -5.0, np.float32)
+            for i in range(x.shape[0]):
+                c = int(targets[i].argmax())
+                logits[i, c] = 5.0 if c in good_classes else -5.0
+                if c not in good_classes:
+                    logits[i, (c + 1) % 4] = 5.0
+            return jnp.asarray(logits)
+        return eval_step
+
+    x = np.zeros((16, 3), np.float32)
+    batches = lambda: [{"x": x, "y": targets}]
+    step_a = eval_step_factory({0, 1})
+    step_b = eval_step_factory({2, 3})
+
+    def combined(params, xx):
+        return step_a(None, xx) if params == "a" else step_b(None, xx)
+
+    results = evaluate_ensemble(combined, ["a", "b"], batches,
+                                loss_type="CE", main_metric="acc")
+    assert len(results) == 2
+    assert results[1]["acc"] >= results[0]["acc"]
+
+
+def test_average_ensemble_views():
+    scores = np.arange(20.0).reshape(10, 2)
+    rec = np.repeat([3, 7], 5)
+    uniq, avg = average_ensemble_views(scores, rec)
+    np.testing.assert_array_equal(uniq, [3, 7])
+    np.testing.assert_allclose(avg[0], scores[:5].mean(axis=0))
+
+
+def test_step_timer():
+    import time
+
+    t = StepTimer(warmup_steps=1)
+    for _ in range(3):
+        t.start()
+        time.sleep(0.01)
+        t.stop(n_items=4)
+    assert t.steps_timed == 2
+    assert 0.005 < t.mean_step_time < 0.1
+    assert t.items_per_sec > 0
+
+
+def test_annotate_context():
+    with annotate("test-region"):
+        _ = jnp.sum(jnp.ones(8))
+
+
+def test_logging(tmp_path, capsys):
+    lg = setup_logging(str(tmp_path))
+    lg.info("hello")
+    log_json_stats({"mAP": 0.123456789, "epoch": 2}, lg)
+    with open(tmp_path / "stdout.log") as f:
+        content = f.read()
+    assert "hello" in content
+    assert '"mAP": 0.12346' in content

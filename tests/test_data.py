@@ -130,3 +130,42 @@ def test_spec_augment_masks_within_bounds():
     assert (out == 0).any()  # some masking happened
     frac_masked = (out == 0).mean()
     assert frac_masked < 0.5
+
+
+def test_native_decoder_matches_python(tmp_path):
+    from aum_tpu.data.native import decode_wav_batch, native_available
+
+    if not native_available():
+        pytest.skip("native wav library not built")
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"n{i}.wav")
+        write_wav(p, rng.standard_normal(6000 + 500 * i) * 0.2)
+        paths.append(p)
+    waves, n_samples, rates, statuses = decode_wav_batch(paths, 8000,
+                                                         threads=2)
+    assert (statuses == 0).all()
+    assert (rates == 16000).all()
+    for i, p in enumerate(paths):
+        ref, _ = load_wav(p)
+        ref = ref - ref.mean()
+        n = len(ref)
+        assert n_samples[i] == n
+        np.testing.assert_allclose(waves[i, :n], ref, atol=1e-5)
+        np.testing.assert_allclose(waves[i, n:], 0.0)
+
+
+def test_pipeline_native_matches_python(tiny_dataset):
+    from aum_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native wav library not built")
+    pn = BatchPipeline(tiny_dataset, batch_size=4, train=False,
+                       num_workers=2, use_native=True)
+    pp = BatchPipeline(tiny_dataset, batch_size=4, train=False,
+                       num_workers=2, use_native=False)
+    bn = next(iter(pn.batches(0)))
+    bp = next(iter(pp.batches(0)))
+    np.testing.assert_allclose(np.asarray(bn["x"]), np.asarray(bp["x"]),
+                               atol=2e-4)

@@ -134,3 +134,72 @@ def test_kernel_and_oracle_paths_agree():
     out_ker = m_ker.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_ker), np.asarray(out_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_flexible_patch_size_runtime():
+    """FlexiPatchEmbed/FlexiPosEmbed runtime retargeting: running with a
+    different patch size changes the token grid but stays finite and
+    class-shaped (traintest.py:127-141 flexible training)."""
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=192, spectrogram_size=(128, 128), num_classes=5)
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128))
+    params = model.init(jax.random.PRNGKey(1), x)
+    out16 = model.apply(params, x)
+    out8 = model.apply(params, x, patch_size=8, strides=8)
+    assert out16.shape == out8.shape == (1, 5)
+    assert bool(jnp.all(jnp.isfinite(out8)))
+    # different grids -> genuinely different computation
+    assert not np.allclose(np.asarray(out16), np.asarray(out8))
+
+
+def test_transpose_token_sequence():
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=192, spectrogram_size=(128, 128), num_classes=5,
+        transpose_token_sequence=True)
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128))
+    params = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 5)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_random_cls_position_and_shuffle_and_flip():
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=192, spectrogram_size=(128, 128), num_classes=5)
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128))
+    params = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(params, x, if_random_cls_token_position=True,
+                      if_random_token_rank=True, flip_sequence_prob=0.5,
+                      rng=jax.random.PRNGKey(3))
+    assert out.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # different rng -> different augmentation path
+    out2 = model.apply(params, x, if_random_cls_token_position=True,
+                       rng=jax.random.PRNGKey(9))
+    assert out2.shape == (2, 5)
+
+
+def test_random_cls_position_consistent_with_static_when_middle():
+    """With the random position forced to N//2 the dynamic-insert path must
+    equal the static middle-cls path."""
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=192, spectrogram_size=(128, 128), num_classes=5)
+    model = AudioMamba(cfg, use_kernel=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128))
+    params = model.init(jax.random.PRNGKey(1), x)
+    ref = model.apply(params, x)
+    # scan PRNGKey space for a key that draws position N//2 (N=64 -> 32)
+    import numpy as _np
+    for seed in range(300):
+        kpos = jax.random.split(jax.random.PRNGKey(seed))[1]
+        p = int(jax.random.randint(kpos, (), 0, 65))
+        if p == 32:
+            out = model.apply(params, x, if_random_cls_token_position=True,
+                              rng=jax.random.PRNGKey(seed))
+            _np.testing.assert_allclose(_np.asarray(out), _np.asarray(ref),
+                                        rtol=2e-4, atol=2e-4)
+            return
+    raise AssertionError("no seed produced the middle position")
