@@ -19,3 +19,14 @@ A from-scratch rebuild of the capabilities of kaistmm/Audio-Mamba-AuM
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: kernel compiles go through a remote
+# compile service in some environments and can take minutes; caching them
+# across processes makes reruns start in seconds. Opt out by setting
+# JAX_COMPILATION_CACHE_DIR yourself (or to "").
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "aum_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "4")

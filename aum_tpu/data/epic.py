@@ -258,3 +258,112 @@ class EpicBatchPipeline:
                 batch["record_index"] = np.array(
                     [s[3] for s in samples], np.int32)
                 yield batch
+
+
+class EpicFlexiBatchPipeline:
+    """Variable-length EPIC pipeline (the reference's `_flexi` path:
+    pack_audio_flexi + _extract_sound_feature_flexi + construct_loader_flexi,
+    audio_loader_epicsounds.py:76-173, loader.py:16-72).
+
+    Each record uses its *entire* segment; the spectrogram length is rounded
+    up to a multiple of 16 frames (clamped to [min_audio_length, num_frames])
+    and edge-padded/cropped. The reference list-collates variable-length
+    clips; here clips are bucketed by their rounded length so each bucket is
+    one fixed-shape device batch (one jit specialization per bucket size,
+    the XLA-friendly equivalent of a ragged batch). Augmentation uses the
+    length-scaled masks/warp of combined_transforms_flexi
+    (spec_augment.py:414-424: T_MASK and T_WARP scaled by len/1024).
+    """
+
+    def __init__(self, dataset: EpicSoundsDataset, batch_size: int,
+                 train: bool = True, seed: int = 0, num_workers: int = 4,
+                 min_audio_length: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.num_workers = num_workers
+        self.min_audio_length = min_audio_length
+        self._featurizers = {}
+
+    def _target_length(self, n_frames: int) -> int:
+        cfg = self.dataset.cfg
+        tgt = n_frames + 16 - (n_frames % 16)
+        if tgt > cfg.num_frames:
+            tgt = cfg.num_frames
+        elif self.min_audio_length and tgt < self.min_audio_length:
+            tgt = self.min_audio_length
+        return tgt
+
+    def _featurize_for(self, tgt: int):
+        if tgt not in self._featurizers:
+            cfg = self.dataset.cfg
+
+            def featurize(key, waves, n_frames, labels, _tgt=tgt):
+                fb = stft_log_mel(
+                    waves, sr=cfg.sampling_rate, n_fft=2048,
+                    window_ms=cfg.window_length_ms,
+                    hop_ms=cfg.hop_length_ms,
+                    n_mels=cfg.num_frequencies)[:, :_tgt]
+                pos = jnp.arange(_tgt)[None, :]
+                idx = jnp.minimum(pos, n_frames[:, None] - 1)
+                fb = jnp.take_along_axis(fb, idx[:, :, None], axis=1)
+                if self.train:
+                    key, k_aug = jax.random.split(key)
+                    # length-scaled masks/warp (spec_augment.py:414-424)
+                    fb = combined_transforms(
+                        k_aug, fb, t_mask=max(cfg.t_mask * _tgt // 1024, 1),
+                        f_mask=cfg.f_mask,
+                        t_warp=cfg.t_warp * _tgt // 1024)
+                fb = (fb - cfg.mean) / (2.0 * cfg.std)
+                return {"x": fb, "y": labels}
+
+            self._featurizers[tgt] = jax.jit(featurize)
+        return self._featurizers[tgt]
+
+    def batches(self, epoch: int = 0):
+        import concurrent.futures as cf
+
+        cfg = self.dataset.cfg
+        n = len(self.dataset.records)
+        rng = np.random.default_rng(self.seed + epoch)
+        order = rng.permutation(n) if self.train else np.arange(n)
+        order = order[jax.process_index()::jax.process_count()]
+        key = jax.random.PRNGKey(
+            np.random.default_rng([self.seed, epoch, 1]).integers(2 ** 31))
+
+        def fetch(i):
+            rec = self.dataset.records[int(i)]
+            samples = self.dataset._audio()[rec.video_id]
+            wave = np.asarray(
+                samples[rec.start_audio_sample:rec.end_audio_sample],
+                dtype=np.float32)
+            max_samples = cfg.clip_samples * 3  # 30s cap like NUM_FRAMES cap
+            wave = wave[:max_samples]
+            n_frames = min(1 + len(wave) // cfg.hop_samples, cfg.num_frames)
+            y = np.zeros(cfg.num_classes, np.float32)
+            y[rec.label] = 1.0
+            return wave, n_frames, y
+
+        # Bucket indices by rounded target length.
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            samples = list(pool.map(fetch, order))
+        buckets = {}
+        for s in samples:
+            tgt = self._target_length(s[1])
+            buckets.setdefault(tgt, []).append(s)
+
+        for tgt, items in sorted(buckets.items()):
+            feat = self._featurize_for(tgt)
+            wave_len = (tgt - 1) * cfg.hop_samples + 1
+            for start in range(0, len(items), self.batch_size):
+                chunk = items[start:start + self.batch_size]
+                waves = np.zeros((len(chunk), wave_len), np.float32)
+                for j, (w, _, _) in enumerate(chunk):
+                    m = min(len(w), wave_len)
+                    waves[j, :m] = w[:m]
+                n_frames = np.array([min(s[1], tgt) for s in chunk],
+                                    np.int32)
+                labels = np.stack([s[2] for s in chunk])
+                key, kb = jax.random.split(key)
+                yield feat(kb, waves, n_frames, labels)

@@ -176,3 +176,42 @@ class BatchPipeline:
                 waves, n_frames, labels = assemble(idxs)
                 key, kb = jax.random.split(key)
                 yield self._featurize(kb, waves, n_frames, labels)
+
+
+class Prefetcher:
+    """Background-thread batch prefetcher (depth-N double buffering).
+
+    The role torch's DataLoader worker prefetch plays in the reference:
+    the next host batch is decoded (native C++ pool) and its device
+    featurization dispatched while the train step runs on the current one.
+    Wrap any batch iterator: `for b in Prefetcher(pipe.batches(epoch)): ...`
+    """
+
+    def __init__(self, iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._sentinel:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item

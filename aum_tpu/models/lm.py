@@ -290,3 +290,34 @@ def generate(
         prev = jnp.concatenate([prev, nxt[:, None]], axis=1)
         logits, state = step(nxt, state)
     return jnp.concatenate(tokens, axis=1)
+
+
+def save_pretrained(params, cfg: MambaLMConfig, directory: str) -> None:
+    """Save config.json + weights (mixer_seq_simple.py:246-264 equivalent,
+    local-directory flavor of the HF save_pretrained contract)."""
+    import json
+    import os
+    import pickle
+
+    import numpy as np
+
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    flat = jax.tree.map(lambda x: np.asarray(x), params)
+    with open(os.path.join(directory, "weights.pkl"), "wb") as f:
+        pickle.dump(flat, f)
+
+
+def load_pretrained(directory: str):
+    """-> (params, MambaLMConfig). Counterpart of MambaLMHeadModel
+    .from_pretrained for local checkpoints (utils/hf.py:10-23)."""
+    import json
+    import os
+    import pickle
+
+    with open(os.path.join(directory, "config.json")) as f:
+        cfg = MambaLMConfig(**json.load(f))
+    with open(os.path.join(directory, "weights.pkl"), "rb") as f:
+        params = pickle.load(f)
+    return jax.tree.map(jnp.asarray, params), cfg

@@ -87,7 +87,12 @@ def _fwd_kernel_z(
     state_ref, a_scr, dbu_scr, x_scr,
     *, l_chunk: int, reverse: bool, save_states: bool,
 ):
-    """Forward kernel with fused D-skip and SiLU(z) gating."""
+    """Forward kernel with fused D-skip and SiLU(z) gating.
+
+    Blocks carry a leading batch-tile dim (b_t): b_t independent recurrence
+    chains advance together in the serial loop (interleaved FMA chains hide
+    each other's latency and cut grid steps by b_t for large batches).
+    """
     l = pl.program_id(2)
 
     @pl.when(l == 0)
@@ -95,50 +100,66 @@ def _fwd_kernel_z(
         state_ref[...] = jnp.zeros_like(state_ref)
 
     if save_states:
-        xb_ref[...] = state_ref[...][None, None]
+        xb_ref[...] = state_ref[...][:, None]
 
-    u = u_ref[0].astype(jnp.float32)
-    delta = delta_ref[0].astype(jnp.float32)
-    a_t = at_ref[...].astype(jnp.float32)
-    bm = b_ref[0].astype(jnp.float32)
-    cm = c_ref[0].astype(jnp.float32)
+    u = u_ref[...].astype(jnp.float32)          # (b_t, L_c, d_b)
+    delta = delta_ref[...].astype(jnp.float32)
+    a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
+    bm = b_ref[...].astype(jnp.float32)         # (b_t, L_c, N)
+    cm = c_ref[...].astype(jnp.float32)
 
-    dt = jax.nn.softplus(delta + bias_ref[...].astype(jnp.float32))
+    dt = jax.nn.softplus(delta + bias_ref[...].astype(jnp.float32)[None])
 
-    a_scr[...] = jnp.exp(dt[:, None, :] * a_t[None, :, :])
-    dbu_scr[...] = (dt * u)[:, None, :] * bm[:, :, None]
+    a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
+    dbu_scr[...] = (dt * u)[:, :, None, :] * bm[:, :, :, None]
 
     def body(i, x):
         t = (l_chunk - 1 - i) if reverse else i
-        x = a_scr[t] * x + dbu_scr[t]
-        x_scr[t] = x
+        x = a_scr[:, t] * x + dbu_scr[:, t]     # (b_t, N, d_b)
+        x_scr[:, t] = x
         return x
 
     state = jax.lax.fori_loop(0, l_chunk, body, state_ref[...],
                               unroll=l_chunk)
     state_ref[...] = state
 
-    y = jnp.sum(x_scr[...] * cm[:, :, None], axis=1)
-    ycore = y + d_ref[...].astype(jnp.float32) * u
-    zf = z_ref[0].astype(jnp.float32)
-    out_ref[...] = (ycore * _silu(zf))[None].astype(out_ref.dtype)
+    y = jnp.sum(x_scr[...] * cm[:, :, :, None], axis=2)  # (b_t, L_c, d_b)
+    ycore = y + d_ref[...].astype(jnp.float32)[None] * u
+    zf = z_ref[...].astype(jnp.float32)
+    out_ref[...] = (ycore * _silu(zf)).astype(out_ref.dtype)
+
+
+def _pick_b_tile(bsz: int, l_chunk: int, d_block: int, n_pad: int,
+                 n_bufs: int = 3, budget_bytes: int = 12 * 2 ** 20) -> int:
+    """Largest batch tile whose chunk scratch fits the VMEM budget."""
+    per_chain = n_bufs * l_chunk * n_pad * d_block * 4
+    max_bt = max(1, budget_bytes // max(per_chain, 1))
+    bt = 1
+    for cand in (8, 4, 2):
+        if cand <= max_bt and bsz % cand == 0:
+            bt = cand
+            break
+    return bt
 
 
 def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
-                d_block, l_chunk, interpret):
+                d_block, l_chunk, interpret, b_tile=None):
     bsz, l_pad, d = u.shape
     n_pad = a_t.shape[0]
     n_d = d // d_block
     n_l = l_pad // l_chunk
+    if b_tile is None:
+        b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad)
+    n_b = bsz // b_tile
 
     def lmap(li):
         return (n_l - 1 - li) if reverse else li
 
     seq_spec = pl.BlockSpec(
-        (1, l_chunk, d_block), lambda di, bi, li: (bi, lmap(li), di),
+        (b_tile, l_chunk, d_block), lambda di, bi, li: (bi, lmap(li), di),
         memory_space=pltpu.VMEM)
     bc_spec = pl.BlockSpec(
-        (1, l_chunk, n_pad), lambda di, bi, li: (bi, lmap(li), 0),
+        (b_tile, l_chunk, n_pad), lambda di, bi, li: (bi, lmap(li), 0),
         memory_space=pltpu.VMEM)
     at_spec = pl.BlockSpec(
         (n_pad, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
@@ -151,13 +172,14 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
         out_shapes.append(
             jax.ShapeDtypeStruct((bsz, n_l, n_pad, d), jnp.float32))
         out_specs.append(pl.BlockSpec(
-            (1, 1, n_pad, d_block), lambda di, bi, li: (bi, li, 0, di),
+            (b_tile, 1, n_pad, d_block), lambda di, bi, li: (bi, li, 0, di),
             memory_space=pltpu.VMEM))
     else:
         # Dummy 1-chunk-sized output so the kernel signature stays uniform.
-        out_shapes.append(jax.ShapeDtypeStruct((1, 1, n_pad, d), jnp.float32))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b_tile, 1, n_pad, d), jnp.float32))
         out_specs.append(pl.BlockSpec(
-            (1, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
+            (b_tile, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
             memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
@@ -171,22 +193,24 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
         transcendentals=bsz * l_pad * d * n_pad,
     )
 
+    bias2 = bias
+    dsk2 = dsk
     out, xb = pl.pallas_call(
         kernel,
-        grid=(n_d, bsz, n_l),
+        grid=(n_d, n_b, n_l),
         in_specs=[seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
                   vec_spec, seq_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((n_pad, d_block), jnp.float32),
-            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),
-            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),
-            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),
+            pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(u, delta, a_t, bm, cm, dsk, bias, z)
+    )(u, delta, a_t, bm, cm, dsk2, bias2, z)
     return out, xb
 
 
@@ -400,7 +424,7 @@ def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
 
 @functools.cache
 def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
-               interpret: bool):
+               interpret: bool, b_tile):
     """Build a custom-VJP selective scan closed over static config."""
 
     @jax.custom_vjp
@@ -411,7 +435,7 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         out, _ = _fwd_pallas(
             up, dp, a_t, bp, cp, dsk, bias, zp, reverse=reverse,
             save_states=False, d_block=d_block, l_chunk=l_chunk,
-            interpret=interpret)
+            interpret=interpret, b_tile=b_tile)
         return out[:, :l]
 
     def scan_fwd(u, delta, A, B, C, D, z, delta_bias):
@@ -421,7 +445,7 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         out, xb = _fwd_pallas(
             up, dp, a_t, bp, cp, dsk, bias, zp, reverse=reverse,
             save_states=True, d_block=d_block, l_chunk=l_chunk,
-            interpret=interpret)
+            interpret=interpret, b_tile=b_tile)
         res = (up, dp, a_t, bp, cp, dsk, bias, zp, xb, d_block, l_chunk, l,
                A.shape[1], delta_bias is not None)
         return out[:, :l], res
@@ -472,6 +496,7 @@ def selective_scan(
     l_chunk: int = 128,
     use_kernel: bool | None = None,
     interpret: bool | None = None,
+    b_tile: int | None = None,
 ) -> jax.Array:
     """Fused selective scan. See ``selective_scan_ref`` for semantics.
 
@@ -488,7 +513,8 @@ def selective_scan(
             reverse=reverse)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    scan = _make_scan(bool(reverse), d_block, l_chunk, bool(interpret))
+    scan = _make_scan(bool(reverse), d_block, l_chunk, bool(interpret),
+                      b_tile)
     if delta_bias is None:
         delta_bias = jnp.zeros((u.shape[-1],), jnp.float32)
     return scan(u, delta, A, B, C, D, z, delta_bias)
@@ -524,32 +550,32 @@ def _fwd_kernel_dual(
         stater_ref[...] = jnp.zeros_like(stater_ref)
 
     if save_states:
-        xbf_ref[...] = statef_ref[...][None, None]
-        xbr_ref[...] = stater_ref[...][None, None]
+        xbf_ref[...] = statef_ref[...][:, None]
+        xbr_ref[...] = stater_ref[...][:, None]
 
-    uf = uf_ref[0].astype(jnp.float32)
-    ur = ur_ref[0].astype(jnp.float32)
-    dtf = jax.nn.softplus(df_ref[0].astype(jnp.float32)
-                          + biasf_ref[...].astype(jnp.float32))
-    dtr = jax.nn.softplus(dr_ref[0].astype(jnp.float32)
-                          + biasr_ref[...].astype(jnp.float32))
+    uf = uf_ref[...].astype(jnp.float32)          # (b_t, L_c, d_b)
+    ur = ur_ref[...].astype(jnp.float32)
+    dtf = jax.nn.softplus(df_ref[...].astype(jnp.float32)
+                          + biasf_ref[...].astype(jnp.float32)[None])
+    dtr = jax.nn.softplus(dr_ref[...].astype(jnp.float32)
+                          + biasr_ref[...].astype(jnp.float32)[None])
 
     af_scr[...] = jnp.exp(
-        dtf[:, None, :] * atf_ref[...].astype(jnp.float32)[None])
+        dtf[:, :, None, :] * atf_ref[...].astype(jnp.float32)[None, None])
     ar_scr[...] = jnp.exp(
-        dtr[:, None, :] * atr_ref[...].astype(jnp.float32)[None])
-    dbuf_scr[...] = (dtf * uf)[:, None, :] * bf_ref[0].astype(
-        jnp.float32)[:, :, None]
-    dbur_scr[...] = (dtr * ur)[:, None, :] * br_ref[0].astype(
-        jnp.float32)[:, :, None]
+        dtr[:, :, None, :] * atr_ref[...].astype(jnp.float32)[None, None])
+    dbuf_scr[...] = (dtf * uf)[:, :, None, :] * bf_ref[...].astype(
+        jnp.float32)[:, :, :, None]
+    dbur_scr[...] = (dtr * ur)[:, :, None, :] * br_ref[...].astype(
+        jnp.float32)[:, :, :, None]
 
     def body(i, carry):
         xf, xr = carry
         tr = l_chunk - 1 - i
-        xf = af_scr[i] * xf + dbuf_scr[i]
-        xr = ar_scr[tr] * xr + dbur_scr[tr]
-        xf_scr[i] = xf
-        xr_scr[tr] = xr
+        xf = af_scr[:, i] * xf + dbuf_scr[:, i]
+        xr = ar_scr[:, tr] * xr + dbur_scr[:, tr]
+        xf_scr[:, i] = xf
+        xr_scr[:, tr] = xr
         return (xf, xr)
 
     statef, stater = jax.lax.fori_loop(
@@ -558,20 +584,20 @@ def _fwd_kernel_dual(
     statef_ref[...] = statef
     stater_ref[...] = stater
 
-    yf = jnp.sum(xf_scr[...] * cf_ref[0].astype(jnp.float32)[:, :, None],
-                 axis=1)
-    yr = jnp.sum(xr_scr[...] * cr_ref[0].astype(jnp.float32)[:, :, None],
-                 axis=1)
-    ycf = yf + dskf_ref[...].astype(jnp.float32) * uf
-    ycr = yr + dskr_ref[...].astype(jnp.float32) * ur
-    outf_ref[...] = (ycf * _silu(zf_ref[0].astype(jnp.float32)))[None].astype(
+    yf = jnp.sum(xf_scr[...] * cf_ref[...].astype(jnp.float32)[:, :, :, None],
+                 axis=2)
+    yr = jnp.sum(xr_scr[...] * cr_ref[...].astype(jnp.float32)[:, :, :, None],
+                 axis=2)
+    ycf = yf + dskf_ref[...].astype(jnp.float32)[None] * uf
+    ycr = yr + dskr_ref[...].astype(jnp.float32)[None] * ur
+    outf_ref[...] = (ycf * _silu(zf_ref[...].astype(jnp.float32))).astype(
         outf_ref.dtype)
-    outr_ref[...] = (ycr * _silu(zr_ref[0].astype(jnp.float32)))[None].astype(
+    outr_ref[...] = (ycr * _silu(zr_ref[...].astype(jnp.float32))).astype(
         outr_ref.dtype)
 
 
 def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
-                     interpret):
+                     interpret, b_tile=None):
     """args_f/args_r: (u, delta, a_t, bm, cm, dsk, bias, z) per direction.
     Forward direction scans chunks left->right, reverse right->left."""
     u = args_f[0]
@@ -579,15 +605,23 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
     n_pad = args_f[2].shape[0]
     n_d = d // d_block
     n_l = l_pad // l_chunk
+    if b_tile is None:
+        env_bt = _os.environ.get("AUM_SCAN_BTILE")
+        if env_bt and bsz % int(env_bt) == 0:
+            b_tile = int(env_bt)
+        else:
+            b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad, n_bufs=6,
+                                  budget_bytes=25 * 2 ** 20)
+    n_b = bsz // b_tile
 
     def spec_of(rev):
         def lmap(li):
             return (n_l - 1 - li) if rev else li
 
-        seq = pl.BlockSpec((1, l_chunk, d_block),
+        seq = pl.BlockSpec((b_tile, l_chunk, d_block),
                            lambda di, bi, li: (bi, lmap(li), di),
                            memory_space=pltpu.VMEM)
-        bc = pl.BlockSpec((1, l_chunk, n_pad),
+        bc = pl.BlockSpec((b_tile, l_chunk, n_pad),
                           lambda di, bi, li: (bi, lmap(li), 0),
                           memory_space=pltpu.VMEM)
         return seq, bc
@@ -601,7 +635,7 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
 
     def xb_spec(rev):
         del rev
-        return pl.BlockSpec((1, 1, n_pad, d_block),
+        return pl.BlockSpec((b_tile, 1, n_pad, d_block),
                             lambda di, bi, li: (bi, li, 0, di),
                             memory_space=pltpu.VMEM)
 
@@ -618,9 +652,9 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
     else:
         for rev in (False, True):
             out_shapes.append(
-                jax.ShapeDtypeStruct((1, 1, n_pad, d), jnp.float32))
+                jax.ShapeDtypeStruct((b_tile, 1, n_pad, d), jnp.float32))
             out_specs.append(pl.BlockSpec(
-                (1, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
+                (b_tile, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
                 memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
@@ -632,7 +666,7 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(n_d, bsz, n_l),
+        grid=(n_d, n_b, n_l),
         in_specs=[seq_f, seq_f, at_spec, bc_f, bc_f, vec_spec, vec_spec,
                   seq_f,
                   seq_r, seq_r, at_spec, bc_r, bc_r, vec_spec, vec_spec,
@@ -640,8 +674,8 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=(
-            [pltpu.VMEM((n_pad, d_block), jnp.float32)] * 2
-            + [pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32)] * 6
+            [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
+            + [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32)] * 6
         ),
         cost_estimate=cost,
         interpret=interpret,
@@ -728,11 +762,19 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
     return dual
 
 
+import os as _os
+
+
+def _env_int(name, default):
+    v = _os.environ.get(name)
+    return int(v) if v else default
+
+
 def selective_scan_dual(
     args_fwd: tuple,
     args_rev: tuple,
-    d_block: int = 512,
-    l_chunk: int = 128,
+    d_block: int | None = None,
+    l_chunk: int | None = None,
     use_kernel: bool | None = None,
     interpret: bool | None = None,
 ):
@@ -756,6 +798,10 @@ def selective_scan_dual(
         yr = selective_scan_ref(ur, dr, ar, br, cr, dskr, zr, biasr,
                                 delta_softplus=True, reverse=True)
         return yf, yr
+    if d_block is None:
+        d_block = _env_int("AUM_SCAN_DBLOCK", 512)
+    if l_chunk is None:
+        l_chunk = _env_int("AUM_SCAN_LCHUNK", 128)
     dual = _make_dual_scan(d_block, l_chunk, bool(interpret))
     uf, df, af, bf, cf, dskf, zf, biasf = args_fwd
     ur, dr, ar, br, cr, dskr, zr, biasr = args_rev

@@ -28,6 +28,12 @@ import jax
 import numpy as np
 
 
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="aum_tpu experiment runner")
     p.add_argument("--recipe", required=True,
@@ -37,7 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--data-eval")
     p.add_argument("--label-csv")  # required for non-EPIC datasets
     p.add_argument("--exp-dir", required=True)
-    p.add_argument("--run-type", default="train", choices=["train", "eval"])
+    p.add_argument("--run-type", default="train",
+                   choices=["train", "eval", "eval_wa", "eval_ensemble"])
     p.add_argument("--ckpt", help="checkpoint for --run-type eval "
                                   "(orbax dir or torch .pth)")
     p.add_argument("--n-model", type=int, default=1,
@@ -193,6 +200,38 @@ def main(argv=None):
     hp = cfg.train_hp()
     spe = train_pipe.steps_per_epoch() if train_pipe else 1
     tx = make_optimizer(hp, steps_per_epoch=max(spe, 1))
+
+    if args.run_type in ("eval_wa", "eval_ensemble"):
+        # Weight-averaging (validate_wa, traintest.py:342-370) and
+        # cumulative prediction-ensemble (validate_ensemble, :323-340) over
+        # the per-epoch checkpoints in --ckpt.
+        from aum_tpu.parallel import shard_params
+        from aum_tpu.train import average_params
+        from aum_tpu.train.loop import evaluate_ensemble
+
+        assert args.ckpt, "--ckpt (checkpoint dir) required"
+        pipe = eval_pipe or val_pipe
+        assert pipe is not None
+        ckptr = Checkpointer(args.ckpt)
+        state = TrainState(step=0, params=params, opt_state=tx.init(params))
+        epochs = ckptr.available_epochs()
+        assert epochs, f"no epoch checkpoints under {args.ckpt}"
+        trees = [ckptr.restore(f"epoch_{e}", state).params for e in epochs]
+        eval_step = make_eval_step(model, mesh)
+        if args.run_type == "eval_wa":
+            avg = shard_params(jax.tree.map(jnp_asarray, average_params(trees)),
+                               mesh)
+            metrics, _, _ = evaluate(eval_step, avg, pipe.batches(),
+                                     cfg.loss, cfg.metrics)
+            print(json.dumps({"n_models": len(trees), **{
+                k: v for k, v in metrics.items()}}, default=float))
+            return metrics
+        results = evaluate_ensemble(
+            eval_step, [shard_params(t, mesh) for t in trees],
+            lambda: pipe.batches(), cfg.loss, cfg.metrics)
+        for r in results:
+            print(json.dumps(r, default=float))
+        return results
 
     if args.run_type == "eval":
         assert eval_pipe or val_pipe, "need --data-eval or --data-val"

@@ -226,7 +226,9 @@ def train_loop(
         losses = []
         t_epoch = _time.time()
         n_clips = 0
-        for i, batch in enumerate(train_batches(epoch)):
+        from aum_tpu.data.pipeline import Prefetcher
+
+        for i, batch in enumerate(Prefetcher(train_batches(epoch))):
             rng, krun = jax.random.split(rng)
             state, loss = step_fn(state, batch, krun)
             n_clips += int(batch["x"].shape[0])

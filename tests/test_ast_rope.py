@@ -96,3 +96,146 @@ def test_audio_mamba_with_rope():
     out = model.apply(params, x)
     assert out.shape == (1, 5)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_deit_port_matches_numpy_transformer():
+    """Port a synthetic timm-style DeiT dict and check the flax forward
+    against an independent numpy transformer executor."""
+    from aum_tpu.convert.ast_port import port_deit_state_dict
+    from aum_tpu.convert.torch_port import merge_with_init
+
+    D, H, DEPTH, P = 64, 4, 2, 16
+    rng = np.random.default_rng(0)
+
+    def r(*s, scale=0.1):
+        return (rng.standard_normal(s) * scale).astype(np.float32)
+
+    side = 8  # pretrain grid 8x8 (e.g. 128-image/16)
+    sd = {
+        "cls_token": r(1, 1, D),
+        "pos_embed": r(1, 1 + side * side, D),
+        "patch_embed.proj.weight": r(D, 3, P, P),
+        "patch_embed.proj.bias": r(D),
+        "norm.weight": 1.0 + r(D), "norm.bias": r(D),
+    }
+    for i in range(DEPTH):
+        p = f"blocks.{i}."
+        sd[p + "attn.qkv.weight"] = r(3 * D, D)
+        sd[p + "attn.qkv.bias"] = r(3 * D)
+        sd[p + "attn.proj.weight"] = r(D, D)
+        sd[p + "attn.proj.bias"] = r(D)
+        sd[p + "norm1.weight"] = 1.0 + r(D); sd[p + "norm1.bias"] = r(D)
+        sd[p + "norm2.weight"] = 1.0 + r(D); sd[p + "norm2.bias"] = r(D)
+        sd[p + "mlp.fc1.weight"] = r(4 * D, D); sd[p + "mlp.fc1.bias"] = r(4 * D)
+        sd[p + "mlp.fc2.weight"] = r(D, 4 * D); sd[p + "mlp.fc2.bias"] = r(4 * D)[:D]
+
+    cfg = ASTConfig(label_dim=5, input_fdim=128, input_tdim=128,
+                    fstride=16, tstride=16, depth=DEPTH, embed_dim=D,
+                    num_heads=H)
+    assert cfg.patch_grid == (8, 8)  # same grid: no retarget needed here
+    model = ASTModel(cfg)
+    x = (rng.standard_normal((1, 128, 128)) * 0.5).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ported = port_deit_state_dict(sd, cfg)
+    params = merge_with_init(ported, init)
+    out_feats = np.asarray(
+        model.apply(params, jnp.asarray(x)))
+
+    # ---- independent numpy executor ----
+    def layernorm(v, w, b):
+        m = v.mean(-1, keepdims=True)
+        s = v.var(-1, keepdims=True)
+        return (v - m) / np.sqrt(s + 1e-6) * w + b
+
+    spec = x[0].T  # (F, T)
+    tokens = []
+    kern = sd["patch_embed.proj.weight"].sum(1)  # (D, P, P)
+    for i in range(8):
+        for j in range(8):
+            patch = spec[i * P:(i + 1) * P, j * P:(j + 1) * P]
+            tokens.append((kern * patch[None]).sum((1, 2))
+                          + sd["patch_embed.proj.bias"])
+    seq = np.stack([sd["cls_token"][0, 0]] + tokens)
+    seq = seq + sd["pos_embed"][0]
+    for i in range(DEPTH):
+        p = f"blocks.{i}."
+        hN = layernorm(seq, sd[p + "norm1.weight"], sd[p + "norm1.bias"])
+        qkv = hN @ sd[p + "attn.qkv.weight"].T + sd[p + "attn.qkv.bias"]
+        q, k, v = np.split(qkv, 3, axis=-1)
+        n = seq.shape[0]
+        dh = D // H
+        q = q.reshape(n, H, dh).transpose(1, 0, 2)
+        k = k.reshape(n, H, dh).transpose(1, 0, 2)
+        v = v.reshape(n, H, dh).transpose(1, 0, 2)
+        att = q @ k.transpose(0, 2, 1) / np.sqrt(dh)
+        att = np.exp(att - att.max(-1, keepdims=True))
+        att = att / att.sum(-1, keepdims=True)
+        o = (att @ v).transpose(1, 0, 2).reshape(n, D)
+        o = o @ sd[p + "attn.proj.weight"].T + sd[p + "attn.proj.bias"]
+        seq = seq + o
+        hN = layernorm(seq, sd[p + "norm2.weight"], sd[p + "norm2.bias"])
+        hN = hN @ sd[p + "mlp.fc1.weight"].T + sd[p + "mlp.fc1.bias"]
+        # flax nn.gelu default is approximate (tanh)
+        hN = 0.5 * hN * (1 + np.tanh(np.sqrt(2 / np.pi)
+                                     * (hN + 0.044715 * hN ** 3)))
+        hN = hN @ sd[p + "mlp.fc2.weight"].T + sd[p + "mlp.fc2.bias"]
+        seq = seq + hN
+    seq = layernorm(seq, sd["norm.weight"], sd["norm.bias"])
+    cls_feat = seq[0]
+
+    # Compare backbone features: run the flax model with return of features
+    # by reusing its head params on both sides instead — simpler: apply the
+    # ported head-free comparison via logits with identical head.
+    head_norm_w = np.asarray(params["params"]["head_norm"]["scale"])
+    head_norm_b = np.asarray(params["params"]["head_norm"]["bias"])
+    head_k = np.asarray(params["params"]["head"]["kernel"])
+    head_b = np.asarray(params["params"]["head"]["bias"])
+    ref_logits = layernorm(cls_feat, head_norm_w, head_norm_b) @ head_k + head_b
+    np.testing.assert_allclose(out_feats[0], ref_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_ast_pretrain_port_unwraps_and_retargets():
+    from aum_tpu.convert.ast_port import (
+        port_ast_pretrain_state_dict, port_deit_state_dict)
+    from aum_tpu.convert.torch_port import merge_with_init
+
+    D, H, DEPTH, P = 64, 4, 1, 16
+    rng = np.random.default_rng(1)
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    # pretrain grid (4, 10); target (8, 8) -> freq interp + time crop
+    deit = {
+        "cls_token": r(1, 1, D),
+        "pos_embed": r(1, 1 + 4 * 10, D),
+        "patch_embed.proj.weight": r(D, 1, P, P),
+        "patch_embed.proj.bias": r(D),
+        "norm.weight": 1 + r(D), "norm.bias": r(D),
+    }
+    p = "blocks.0."
+    deit.update({
+        p + "attn.qkv.weight": r(3 * D, D), p + "attn.qkv.bias": r(3 * D),
+        p + "attn.proj.weight": r(D, D), p + "attn.proj.bias": r(D),
+        p + "norm1.weight": 1 + r(D), p + "norm1.bias": r(D),
+        p + "norm2.weight": 1 + r(D), p + "norm2.bias": r(D),
+        p + "mlp.fc1.weight": r(4 * D, D), p + "mlp.fc1.bias": r(4 * D),
+        p + "mlp.fc2.weight": r(D, 4 * D), p + "mlp.fc2.bias": r(D),
+    })
+    sd = {"module.v." + k: v for k, v in deit.items()}
+    sd["module.mlp_head.0.weight"] = 1 + r(D)
+    sd["module.mlp_head.0.bias"] = r(D)
+    sd["module.mlp_head.1.weight"] = r(7, D)
+    sd["module.mlp_head.1.bias"] = r(7)
+
+    cfg = ASTConfig(label_dim=7, input_fdim=128, input_tdim=128,
+                    fstride=16, tstride=16, depth=DEPTH, embed_dim=D,
+                    num_heads=H)
+    ported = port_ast_pretrain_state_dict(sd, cfg, pretrain_grid=(4, 10))
+    assert ported["params"]["pos_embed"].shape == (1, 65, D)
+    assert "head" in ported["params"]  # class count matches -> head kept
+    model = ASTModel(cfg)
+    x = jnp.zeros((1, 128, 128))
+    params = merge_with_init(ported, model.init(jax.random.PRNGKey(0), x))
+    out = model.apply(params, x)
+    assert out.shape == (1, 7)

@@ -169,3 +169,18 @@ def test_pipeline_native_matches_python(tiny_dataset):
     bp = next(iter(pp.batches(0)))
     np.testing.assert_allclose(np.asarray(bn["x"]), np.asarray(bp["x"]),
                                atol=2e-4)
+
+
+def test_prefetcher_yields_all_and_propagates_errors():
+    from aum_tpu.data.pipeline import Prefetcher
+
+    assert list(Prefetcher(iter(range(7)))) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = iter(Prefetcher(boom()))
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)

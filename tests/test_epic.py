@@ -180,3 +180,19 @@ def test_epic_dataset_and_pipeline(epic_h5):
     assert sum(b["x"].shape[0] for b in batches) == 10
     # ensemble views of the same record share its index for averaging
     assert (batches[0]["record_index"][:5] == 0).all()
+
+
+def test_epic_flexi_pipeline(epic_h5):
+    from aum_tpu.data.epic import EpicFlexiBatchPipeline
+
+    ann, h5, cfg = epic_h5
+    ds = EpicSoundsDataset(ann, h5, cfg, split="train")
+    pipe = EpicFlexiBatchPipeline(ds, batch_size=2, train=True,
+                                  num_workers=1)
+    batches = list(pipe.batches(0))
+    assert batches, "no flexi batches produced"
+    for b in batches:
+        t = b["x"].shape[1]
+        assert t % 16 == 0 or t == cfg.num_frames
+        assert b["x"].shape[2] == cfg.num_frequencies
+        assert np.isfinite(np.asarray(b["x"])).all()

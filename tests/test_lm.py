@@ -63,3 +63,17 @@ def test_generate_topk_topp_sampling():
                    top_p=0.9, repetition_penalty=1.2)
     assert out.shape == (1, 6)
     assert int(np.asarray(out).max()) < CFG.vocab_size
+
+
+def test_save_load_pretrained_roundtrip(tmp_path):
+    from aum_tpu.models.lm import load_pretrained, save_pretrained
+
+    model = MambaLM(CFG)
+    ids = jnp.asarray([[1, 2, 3]])
+    params = model.init(jax.random.PRNGKey(0), ids)
+    save_pretrained(params, CFG, str(tmp_path / "ckpt"))
+    params2, cfg2 = load_pretrained(str(tmp_path / "ckpt"))
+    assert cfg2 == CFG
+    out1 = model.apply(params, ids)
+    out2 = MambaLM(cfg2).apply(params2, ids)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))

@@ -91,3 +91,35 @@ def test_run_train_and_eval(spc_like_data, tmp_path):
     ])
     assert 0.0 <= metrics["acc"] <= 1.0
     assert os.path.exists(str(tmp_path / "expeval" / "stats_eval.pickle"))
+
+
+def test_run_eval_wa_and_ensemble(spc_like_data, tmp_path):
+    from aum_tpu.run import main
+
+    exp_dir = str(tmp_path / "exp2")
+    common = [
+        "--recipe", "speechcommands/aum-base_scratch",
+        "--label-csv", spc_like_data["csv"],
+        "--set", "depth=2", "--set", "n_class=4", "--set", "batch_size=8",
+        "--set", "model_type=tiny", "--set", "dtype=float32",
+        "--set", "noise=False",
+    ]
+    main(common + [
+        "--data-train", spc_like_data["train"],
+        "--data-val", spc_like_data["valid"],
+        "--exp-dir", exp_dir, "--num-workers", "2",
+        "--set", "n_epochs=2",
+    ])
+    ckpt = os.path.join(exp_dir, "models")
+    m = main(common + [
+        "--data-eval", spc_like_data["eval"],
+        "--exp-dir", str(tmp_path / "wa"), "--run-type", "eval_wa",
+        "--ckpt", ckpt,
+    ])
+    assert 0.0 <= m["acc"] <= 1.0
+    res = main(common + [
+        "--data-eval", spc_like_data["eval"],
+        "--exp-dir", str(tmp_path / "ens"), "--run-type", "eval_ensemble",
+        "--ckpt", ckpt,
+    ])
+    assert len(res) == 2 and "acc" in res[0]
