@@ -56,6 +56,7 @@ class ExperimentConfig:
     dtype: str = "bfloat16"
     seed: int = SEEDS[0]
     depth: Optional[int] = None         # override model depth (testing/ablation)
+    flexible_patch_sizes: Optional[Tuple[int, ...]] = None  # flexible training
     # pretrained init
     imagenet_pretrain_path: Optional[str] = None
     aum_pretrain_path: Optional[str] = None

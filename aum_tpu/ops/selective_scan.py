@@ -193,8 +193,6 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
         transcendentals=bsz * l_pad * d * n_pad,
     )
 
-    bias2 = bias
-    dsk2 = dsk
     out, xb = pl.pallas_call(
         kernel,
         grid=(n_d, n_b, n_l),
@@ -210,7 +208,7 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(u, delta, a_t, bm, cm, dsk2, bias2, z)
+    )(u, delta, a_t, bm, cm, dsk, bias, z)
     return out, xb
 
 
@@ -611,7 +609,7 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
             b_tile = int(env_bt)
         else:
             b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad, n_bufs=6,
-                                  budget_bytes=25 * 2 ** 20)
+                                  budget_bytes=26 * 2 ** 20)
     n_b = bsz // b_tile
 
     def spec_of(rev):
@@ -798,10 +796,15 @@ def selective_scan_dual(
         yr = selective_scan_ref(ur, dr, ar, br, cr, dskr, zr, biasr,
                                 delta_softplus=True, reverse=True)
         return yf, yr
+    bsz = args_fwd[0].shape[0]
+    # Measured-best tilings (docs/DESIGN.md §6): batch-tiled (256, 64, bt=4)
+    # is ~4x faster than (512, 128, bt=1) once the batch supports 4 chains.
     if d_block is None:
-        d_block = _env_int("AUM_SCAN_DBLOCK", 512)
+        d_block = _env_int("AUM_SCAN_DBLOCK",
+                           256 if bsz % 4 == 0 and bsz >= 16 else 512)
     if l_chunk is None:
-        l_chunk = _env_int("AUM_SCAN_LCHUNK", 128)
+        l_chunk = _env_int("AUM_SCAN_LCHUNK",
+                           64 if bsz % 4 == 0 and bsz >= 16 else 128)
     dual = _make_dual_scan(d_block, l_chunk, bool(interpret))
     uf, df, af, bf, cf, dskf, zf, biasf = args_fwd
     ur, dr, ar, br, cr, dskr, zr, biasr = args_rev

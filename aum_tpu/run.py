@@ -277,7 +277,9 @@ def main(argv=None):
         rng=jax.random.PRNGKey(cfg.seed + 2),
         loss_type=cfg.loss, main_metric=cfg.metrics,
         augment=AugmentConfig(),  # augmentation handled on-device in pipeline
-        exp_dir=args.exp_dir, checkpointer=ckptr)
+        exp_dir=args.exp_dir, checkpointer=ckptr,
+        flexible_patch_sizes=(list(cfg.flexible_patch_sizes)
+                              if cfg.flexible_patch_sizes else None))
     print(f"best epoch {best['epoch']}: {cfg.metrics}={best['main']:.4f}")
 
     # SpeechCommands post-train eval on valid+test (run.py:334-375).

@@ -73,15 +73,25 @@ def make_train_step(
     augment: AugmentConfig = AugmentConfig(),
     nan2num: bool = False,
     donate: bool = True,
+    patch_size=None,
+    strides=None,
 ):
     """Build the jitted sharded train step: (state, batch, rng) -> (state, loss).
 
     batch: {'x': (B, T, F) normalized fbank, 'y': (B, C) float labels}.
+    `patch_size`/`strides` build a step specialized to a runtime patch size
+    (flexible-patch-size training, traintest.py:127-148 — one jitted step
+    per size, the TPU equivalent of the reference's per-batch random size).
     """
     loss_of = loss_fn_of(loss_type)
 
     data_sharding = (NamedSharding(mesh, P("data"))
                      if mesh is not None else None)
+    model_kwargs = {}
+    if patch_size is not None:
+        model_kwargs["patch_size"] = patch_size
+        model_kwargs["strides"] = (strides if strides is not None
+                                   else patch_size)
 
     def step_fn(state: TrainState, batch, rng):
         x, y = batch["x"], batch["y"]
@@ -95,7 +105,7 @@ def make_train_step(
             x = noise_and_roll(k_noise, x)
 
         def loss_f(p):
-            logits = model.apply(p, x)
+            logits = model.apply(p, x, **model_kwargs)
             loss = loss_of(logits, y)
             if nan2num:
                 loss = jnp.nan_to_num(loss)
@@ -207,6 +217,7 @@ def train_loop(
     log_every: int = 50,
     print_fn=print,
     save_predictions: bool = False,
+    flexible_patch_sizes=None,
 ):
     """Epoch loop: train, validate, track best, checkpoint (traintest.py:85-247).
 
@@ -217,7 +228,22 @@ def train_loop(
     import pickle
     import time as _time
 
-    step_fn = make_train_step(model, tx, mesh, loss_type, augment, nan2num)
+    if flexible_patch_sizes:
+        # Flexible-patch-size training (traintest.py:127-148): one jitted
+        # step per size; a host RNG (identical across hosts by seed) picks
+        # the size each step — the broadcast-from-rank-0 equivalent.
+        steps = {ps: make_train_step(model, tx, mesh, loss_type, augment,
+                                     nan2num, donate=False, patch_size=ps)
+                 for ps in flexible_patch_sizes}
+        flex_rng = np.random.default_rng(1234)
+
+        def step_fn(state, batch, rng):
+            ps = flexible_patch_sizes[
+                int(flex_rng.integers(len(flexible_patch_sizes)))]
+            return steps[ps](state, batch, rng)
+    else:
+        step_fn = make_train_step(model, tx, mesh, loss_type, augment,
+                                  nan2num)
     eval_fn = make_eval_step(model, mesh)
     history = []
     progress = []

@@ -4,10 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
 comparison point is an estimate of the reference PyTorch implementation's
-A100 eval throughput for AuM-Base on 10s clips: ~94.5 GFLOP/clip forward
-(92.1M params x 2 x 513 tokens) at fp16 with the measured ~15-25% MFU of the
-reference's many-kernel eval path on A100 (312 TFLOP/s peak) gives ~500-800
-clips/s; we use 650 clips/s. BASELINE.json's target is >=5x that on v5e.
+A100 eval throughput for AuM-Base on 10s clips: ~94.5 GFLOP/clip forward at
+fp16 through the reference's many-kernel eval path gives roughly 500-800
+clips/s in the optimistic case; we use 650 clips/s as the denominator. Note
+the model is selective-scan dominated, which is elementwise (CUDA-core /
+VPU) bound on both architectures — see docs/DESIGN.md §6 for the
+speed-of-light analysis and the measurement-methodology caveats of this
+environment.
 """
 
 import json
@@ -30,7 +33,7 @@ def main():
         "base", "Fo-Bi", num_classes=527, dtype="bfloat16")
     model = AudioMamba(cfg)
 
-    bsz = int(os.environ.get("BENCH_BATCH", "32"))
+    bsz = int(os.environ.get("BENCH_BATCH", "64"))
     x = jax.random.normal(jax.random.PRNGKey(1), (bsz, 1024, 128),
                           jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -54,17 +57,21 @@ def main():
 
     run = jax.jit(many, static_argnums=2)
     # Fresh input per timed call: identical (executable, args) pairs can be
-    # served from a result cache by the backend.
-    float(run(params, x, 1))  # compile + warm
-    t1 = time.perf_counter()
-    float(run(params, x + 1.0, 1))
-    base = time.perf_counter() - t1
+    # served from a result cache by the backend. Per-iteration time is the
+    # difference of two loop lengths (min over two runs each), which cancels
+    # the fixed dispatch/sync overhead without trusting any single run.
+    n_short, n_long = max(iters // 3, 1), iters
+    for n in (n_short, n_long):
+        float(run(params, x + n, n))  # compile + warm
 
-    float(run(params, x + 2.0, iters + 1))  # compile the long version
-    t0 = time.perf_counter()
-    float(run(params, x + 3.0, iters + 1))
-    total = time.perf_counter() - t0
-    dt = max(total - base, 1e-9) / iters
+    def timed(n, off):
+        t0 = time.perf_counter()
+        float(run(params, x + off, n))
+        return time.perf_counter() - t0
+
+    t_short = min(timed(n_short, 11.0), timed(n_short, 12.0))
+    t_long = min(timed(n_long, 13.0), timed(n_long, 14.0))
+    dt = max(t_long - t_short, 1e-9) / (n_long - n_short)
 
     clips_per_sec = bsz / dt
     print(json.dumps({

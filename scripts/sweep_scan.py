@@ -13,7 +13,10 @@ import jax.numpy as jnp
 from aum_tpu.ops import selective_scan
 
 
-def timed(fn, *args, iters=10):
+def timed(fn, *args, iters=15):
+    """Difference of two loop lengths, min-of-two runs each — the only
+    timing method that is reproducible on this relay backend (single-run
+    and 1-iter-baseline timings vary by 2-10x; see docs/DESIGN.md §6)."""
     def many(n, *args):
         def body(_, a):
             x = a[0]
@@ -23,15 +26,19 @@ def timed(fn, *args, iters=10):
         return jnp.mean(jax.lax.fori_loop(0, n, body, args)[0])
 
     run = jax.jit(many, static_argnums=0)
-    float(run(1, *args))  # compile short
-    a2 = (args[0] + 1.0,) + args[1:]
-    t0 = time.perf_counter(); float(run(1, *a2)); base = time.perf_counter() - t0
-    a3 = (args[0] + 2.0,) + args[1:]
-    float(run(iters + 1, *a3))  # compile long
-    a4 = (args[0] + 3.0,) + args[1:]
-    t0 = time.perf_counter(); float(run(iters + 1, *a4))
-    total = time.perf_counter() - t0
-    return max(total - base, 0.0) / iters
+    n_short = max(iters // 3, 1)
+    for n in (n_short, iters):
+        float(run(n, *((args[0] + n,) + args[1:])))  # compile + warm
+
+    def t(n, off):
+        a = (args[0] + off,) + args[1:]
+        t0 = time.perf_counter()
+        float(run(n, *a))
+        return time.perf_counter() - t0
+
+    ts = min(t(n_short, 11.0), t(n_short, 12.0))
+    tl = min(t(iters, 13.0), t(iters, 14.0))
+    return max(tl - ts, 0.0) / (iters - n_short)
 
 
 def make_args(bsz, l, d, n, dtype=jnp.float32):

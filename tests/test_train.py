@@ -140,3 +140,35 @@ def test_end_to_end_training_decreases_loss():
         [{"x": jnp.asarray(xs), "y": jnp.asarray(ys)}],
         loss_type="CE", main_metric="acc")
     assert metrics["acc"] > 0.5, metrics
+
+
+def test_flexible_patch_size_training_runs():
+    """Flexible training (traintest.py:127-148): steps alternate patch sizes
+    and all update the same params."""
+    from aum_tpu.train.loop import train_loop
+    from aum_tpu.train import Checkpointer
+
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=96, spectrogram_size=(128, 64), num_classes=3,
+        d_state=8)
+    model = AudioMamba(cfg, use_kernel=False)
+    mesh = make_mesh(n_data=8, n_model=1)
+    hp = TrainHyperParams(lr=1e-3, warmup=False, lrscheduler_start=100)
+    tx = make_optimizer(hp, steps_per_epoch=4)
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((16, 64, 128)).astype(np.float32)
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(xs[:1]), mesh=mesh)
+
+    def batches(epoch):
+        for i in range(0, 16, 8):
+            yield {"x": jnp.asarray(xs[i:i + 8]),
+                   "y": jnp.asarray(ys[i:i + 8])}
+
+    state, history, best = train_loop(
+        model, tx, mesh, batches, lambda: batches(0), n_epochs=1,
+        state=state, rng=jax.random.PRNGKey(1), loss_type="CE",
+        main_metric="acc", flexible_patch_sizes=[16, 8])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss"])
