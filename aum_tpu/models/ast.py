@@ -24,7 +24,7 @@ deit_small = 12 layers, 384 dim, 6 heads; '_distilled' adds the dist token.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -262,9 +262,19 @@ def main(argv=None):
     assert train_pipe is not None and val_pipe is not None
     state = init_train_state(model, tx, jax.random.PRNGKey(cfg.seed + 1),
                              example, mesh=mesh)
-    if args.ckpt:  # resume
-        ckptr = Checkpointer(args.ckpt)
-        state = ckptr.restore("best", state)
+    if args.ckpt:  # resume from the newest epoch checkpoint (or best)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from aum_tpu.parallel import shard_params
+
+        rckptr = Checkpointer(args.ckpt)
+        epochs = rckptr.available_epochs()
+        name = f"epoch_{epochs[-1]}" if epochs else "best"
+        state = rckptr.restore(name, state)
+        # Restored leaves may land on a single device; re-place the whole
+        # state on the mesh (params in the TP layout, the rest replicated).
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        state = state.replace(params=shard_params(state.params, mesh))
     ckptr = Checkpointer(os.path.join(args.exp_dir, "models"))
 
     from aum_tpu.train.loop import AugmentConfig

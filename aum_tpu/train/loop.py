@@ -21,7 +21,6 @@ TPU-native rebuild of the reference train/validate loops
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Iterable, Optional
 
 import jax

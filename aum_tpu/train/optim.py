@@ -23,8 +23,6 @@ update and runs on-device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 import optax
 

@@ -123,3 +123,26 @@ def test_run_eval_wa_and_ensemble(spc_like_data, tmp_path):
         "--ckpt", ckpt,
     ])
     assert len(res) == 2 and "acc" in res[0]
+
+
+def test_run_train_resume(spc_like_data, tmp_path):
+    """Resume continues from the newest epoch checkpoint."""
+    from aum_tpu.run import main
+
+    common = [
+        "--recipe", "speechcommands/aum-base_scratch",
+        "--data-train", spc_like_data["train"],
+        "--data-val", spc_like_data["valid"],
+        "--label-csv", spc_like_data["csv"],
+        "--num-workers", "2",
+        "--set", "depth=2", "--set", "n_class=4", "--set", "batch_size=8",
+        "--set", "model_type=tiny", "--set", "dtype=float32",
+        "--set", "noise=False", "--set", "n_epochs=1",
+    ]
+    d1 = str(tmp_path / "run1")
+    main(common + ["--exp-dir", d1])
+    d2 = str(tmp_path / "run2")
+    history = main(common + ["--exp-dir", d2,
+                             "--ckpt", os.path.join(d1, "models")])
+    assert len(history) == 1
+    assert os.path.exists(os.path.join(d2, "models", "latest.json"))
