@@ -241,83 +241,90 @@ def _bwd_kernel(
     def _():
         lam_state[...] = jnp.zeros_like(lam_state)
 
-    u = u_ref[0].astype(jnp.float32)            # (L_c, d_b)
-    delta = delta_ref[0].astype(jnp.float32)
+    u = u_ref[...].astype(jnp.float32)          # (b_t, L_c, d_b)
+    delta = delta_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
-    bm = b_ref[0].astype(jnp.float32)           # (L_c, N)
-    cm = c_ref[0].astype(jnp.float32)
-    zf = z_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    bias = bias_ref[...].astype(jnp.float32)
-    dsk = d_ref[...].astype(jnp.float32)
+    bm = b_ref[...].astype(jnp.float32)         # (b_t, L_c, N)
+    cm = c_ref[...].astype(jnp.float32)
+    zf = z_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)[None]
+    dsk = d_ref[...].astype(jnp.float32)[None]
 
     sig = jax.nn.sigmoid(delta + bias)
     dt = jax.nn.softplus(delta + bias)
 
     # --- Recompute in-chunk states from the saved boundary state. -----------
-    a_scr[...] = jnp.exp(dt[:, None, :] * a_t[None, :, :])
-    tmp_scr[...] = (dt * u)[:, None, :] * bm[:, :, None]   # dBu
+    a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
+    tmp_scr[...] = (dt * u)[:, :, None, :] * bm[:, :, :, None]   # dBu
 
     def fwd_body(i, x):
         t = (l_chunk - 1 - i) if reverse else i
-        x = a_scr[t] * x + tmp_scr[t]
-        x_scr[t] = x
+        x = a_scr[:, t] * x + tmp_scr[:, t]
+        x_scr[:, t] = x
         return x
 
-    x0 = xb_ref[0, 0].astype(jnp.float32)
+    x0 = xb_ref[:, 0].astype(jnp.float32)        # (b_t, N, d_b)
     jax.lax.fori_loop(0, l_chunk, fwd_body, x0, unroll=l_chunk)
 
     # --- Recompute outputs of the chunk and gating grads. -------------------
-    y = jnp.sum(x_scr[...] * cm[:, :, None], axis=1)       # (L_c, d_b)
+    y = jnp.sum(x_scr[...] * cm[:, :, :, None], axis=2)    # (b_t, L_c, d_b)
     ycore = y + dsk * u
     sigz = jax.nn.sigmoid(zf)
     silz = zf * sigz
     gy = g * silz                                          # dL/dy_t
     dz = g * ycore * (sigz * (1.0 + zf * (1.0 - sigz)))
-    dz_ref[...] = dz[None].astype(dz_ref.dtype)
-    dd_ref[...] += jnp.sum(gy * u, axis=0, keepdims=True)
+    dz_ref[...] = dz.astype(dz_ref.dtype)
+    dd_ref[...] += jnp.sum(gy * u, axis=(0, 1), keepdims=True)[0]
 
-    # --- Adjoint scan:  λ_t = C_t·gy_t + a_{t+1}·λ_{t+1}. -------------------
-    tmp_scr[...] = cm[:, :, None] * gy[:, None, :]          # CgY
+    # --- Adjoint scan:  lam_t = C_t*gy_t + a_{t+1}*lam_{t+1}. ---------------
+    tmp_scr[...] = cm[:, :, :, None] * gy[:, :, None, :]    # CgY
 
     def bwd_body(i, p):
         # Iterate opposite to the forward scan direction.
         t = i if reverse else (l_chunk - 1 - i)
-        lam = tmp_scr[t] + p
-        lam_scr[t] = lam
-        return a_scr[t] * lam
+        lam = tmp_scr[:, t] + p
+        lam_scr[:, t] = lam
+        return a_scr[:, t] * lam
 
     lam_state[...] = jax.lax.fori_loop(
         0, l_chunk, bwd_body, lam_state[...], unroll=l_chunk)
 
     # --- xprev (state one scan-step before t, in logical layout). -----------
-    xb0 = xb_ref[0, 0].astype(jnp.float32)[None]            # (1, N, d_b)
+    xb0 = xb_ref[:, 0].astype(jnp.float32)[:, None]         # (b_t, 1, N, d_b)
     if reverse:
-        xprev = jnp.concatenate([x_scr[1:], xb0], axis=0)
+        xprev = jnp.concatenate([x_scr[:, 1:], xb0], axis=1)
     else:
-        xprev = jnp.concatenate([xb0, x_scr[: l_chunk - 1]], axis=0)
+        xprev = jnp.concatenate([xb0, x_scr[:, : l_chunk - 1]], axis=1)
 
     lam = lam_scr[...]
-    dla = lam * a_scr[...] * xprev                           # grad wrt dt⊗A
-    dat_ref[...] += jnp.sum(dt[:, None, :] * dla, axis=0)
-    gdtu = jnp.sum(lam * bm[:, :, None], axis=1)             # (L_c, d_b)
-    ddt = jnp.sum(dla * a_t[None], axis=1) + gdtu * u
+    dla = lam * a_scr[...] * xprev                           # grad wrt dt*A
+    dat_ref[...] += jnp.sum(dt[:, :, None, :] * dla, axis=(0, 1))
+    gdtu = jnp.sum(lam * bm[:, :, :, None], axis=2)          # (b_t, L_c, d_b)
+    ddt = jnp.sum(dla * a_t[None, None], axis=2) + gdtu * u
     ddelta = ddt * sig
-    ddelta_ref[...] = ddelta[None].astype(ddelta_ref.dtype)
-    dbias_ref[...] += jnp.sum(ddelta, axis=0, keepdims=True)
-    du_ref[...] = (gy * dsk + gdtu * dt)[None].astype(du_ref.dtype)
+    ddelta_ref[...] = ddelta.astype(ddelta_ref.dtype)
+    dbias_ref[...] += jnp.sum(ddelta, axis=(0, 1), keepdims=True)[0]
+    du_ref[...] = (gy * dsk + gdtu * dt).astype(du_ref.dtype)
     dbp_ref[...] = jnp.sum(
-        lam * (dt * u)[:, None, :], axis=2)[None, None]      # (L_c, N)
+        lam * (dt * u)[:, :, None, :], axis=3)[None]         # (b_t, L_c, N)
     dcp_ref[...] = jnp.sum(
-        x_scr[...] * gy[:, None, :], axis=2)[None, None]
+        x_scr[...] * gy[:, :, None, :], axis=3)[None]
 
 
 def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
-                reverse, d_block, l_chunk, interpret):
+                reverse, d_block, l_chunk, interpret, b_tile=None):
     bsz, l_pad, d = u.shape
     n_pad = a_t.shape[0]
     n_d = d // d_block
     n_l = l_pad // l_chunk
+    if b_tile is None:
+        # The backward's five scratch buffers are all live simultaneously;
+        # stay well inside the 16MB scoped-vmem limit (a b_tile=2 config at
+        # model shapes compiled to 23.3M and was rejected).
+        b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad, n_bufs=5,
+                              budget_bytes=12 * 2 ** 20)
+    n_b = bsz // b_tile
 
     # Backward visits chunks in reverse processing order; data index maps go
     # through processing order p = n_l-1-l, logical chunk c = p (forward scan)
@@ -327,20 +334,21 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
         return (n_l - 1 - p) if reverse else p
 
     seq_spec = pl.BlockSpec(
-        (1, l_chunk, d_block), lambda di, bi, li: (bi, cmap(li), di),
+        (b_tile, l_chunk, d_block), lambda di, bi, li: (bi, cmap(li), di),
         memory_space=pltpu.VMEM)
     bc_spec = pl.BlockSpec(
-        (1, l_chunk, n_pad), lambda di, bi, li: (bi, cmap(li), 0),
+        (b_tile, l_chunk, n_pad), lambda di, bi, li: (bi, cmap(li), 0),
         memory_space=pltpu.VMEM)
     at_spec = pl.BlockSpec(
         (n_pad, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec(
         (1, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
     xb_spec = pl.BlockSpec(
-        (1, 1, n_pad, d_block), lambda di, bi, li: (bi, n_l - 1 - li, 0, di),
+        (b_tile, 1, n_pad, d_block),
+        lambda di, bi, li: (bi, n_l - 1 - li, 0, di),
         memory_space=pltpu.VMEM)
     part_spec = pl.BlockSpec(
-        (1, 1, l_chunk, n_pad), lambda di, bi, li: (di, bi, cmap(li), 0),
+        (1, b_tile, l_chunk, n_pad), lambda di, bi, li: (di, bi, cmap(li), 0),
         memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_bwd_kernel, l_chunk=l_chunk, reverse=reverse)
@@ -366,17 +374,17 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
 
     return pl.pallas_call(
         kernel,
-        grid=(n_d, bsz, n_l),
+        grid=(n_d, n_b, n_l),
         in_specs=[seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
                   vec_spec, seq_spec, seq_spec, xb_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((n_pad, d_block), jnp.float32),             # λ carry
-            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # a
-            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # x
-            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # λ
-            pltpu.VMEM((l_chunk, n_pad, d_block), jnp.float32),    # dBu/CgY
+            pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),   # lam carry
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # a
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # x
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # lam
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # dBu/CgY
         ],
         cost_estimate=cost,
         interpret=interpret,

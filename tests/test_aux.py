@@ -95,3 +95,55 @@ def test_logging(tmp_path, capsys):
         content = f.read()
     assert "hello" in content
     assert '"mAP": 0.12346' in content
+
+
+def test_cli_scripts_gen_weight_and_norm_stats(tmp_path):
+    """Smoke the dataset prep CLIs (gen_weight_file / get_norm_stats
+    equivalents of exps/audioset/gen_weight_file.py and
+    src/get_norm_stats.py)."""
+    import json
+    import subprocess
+    import sys
+    import wave as wave_mod
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(4):
+        p = str(tmp_path / f"c{i}.wav")
+        data = (np.clip(rng.standard_normal(8000) * 0.1, -1, 1)
+                * 32767).astype("<i2")
+        with wave_mod.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(data.tobytes())
+        entries.append({"wav": p, "labels": f"/m/{i % 2}"})
+    (tmp_path / "d.json").write_text(json.dumps({"data": entries}))
+    (tmp_path / "l.csv").write_text(
+        "index,mid,display_name\n0,/m/0,a\n1,/m/1,b\n")
+
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin",
+               HOME=str(tmp_path))
+    import os as _os
+
+    env.update({k: v for k, v in _os.environ.items()
+                if k not in env})
+    env["JAX_PLATFORMS"] = "cpu"
+
+    out = subprocess.run(
+        [sys.executable, "scripts/gen_weight_file.py", "--data",
+         str(tmp_path / "d.json"), "--label-csv", str(tmp_path / "l.csv"),
+         "--out", str(tmp_path / "w.csv")],
+        capture_output=True, text=True, cwd=_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))), env=env)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert len((tmp_path / "w.csv").read_text().strip().split("\n")) == 4
+
+    out = subprocess.run(
+        [sys.executable, "scripts/get_norm_stats.py", "--data",
+         str(tmp_path / "d.json"), "--label-csv", str(tmp_path / "l.csv"),
+         "--target-length", "64", "--batch-size", "2"],
+        capture_output=True, text=True, cwd=_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))), env=env)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "mean=" in out.stdout
