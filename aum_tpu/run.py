@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--epic-hdf5", help="EPIC-KITCHENS audio hdf5")
     p.add_argument("--epic-annotations-train")
     p.add_argument("--epic-annotations-val")
+    p.add_argument("--epic-annotations-test",
+                   help="test split: NUM_ENSEMBLE_VIEWS per record, "
+                        "view-averaged predictions")
     p.add_argument("--num-workers", type=int, default=8)
     # recipe overrides: --set key=value (repeatable)
     p.add_argument("--set", action="append", default=[],
@@ -139,7 +142,14 @@ def _build_epic_pipelines(cfg, args):
         val_pipe = EpicBatchPipeline(ds, cfg.batch_size * 2, train=False,
                                      seed=cfg.seed,
                                      num_workers=args.num_workers)
-    return train_pipe, val_pipe, None
+    eval_pipe = None
+    if args.epic_annotations_test:
+        ds = EpicSoundsDataset(args.epic_annotations_test, args.epic_hdf5,
+                               ecfg, split="test")
+        eval_pipe = EpicBatchPipeline(ds, cfg.batch_size * 2, train=False,
+                                      seed=cfg.seed,
+                                      num_workers=args.num_workers)
+    return train_pipe, val_pipe, eval_pipe
 
 
 def build_model_and_params(cfg, rng, example_x):
@@ -250,8 +260,39 @@ def main(argv=None):
         params = shard_params(params, mesh)
         eval_step = make_eval_step(model, mesh)
         pipe = eval_pipe or val_pipe
-        metrics, scores, targets = evaluate(
-            eval_step, params, pipe.batches(), cfg.loss, cfg.metrics)
+        if cfg.dataset == "epic_sounds" and args.epic_annotations_test:
+            # EPIC test protocol: average the NUM_ENSEMBLE_VIEWS predictions
+            # per record before scoring (epic loader test split).
+            from aum_tpu.train.loop import average_ensemble_views, \
+                loss_fn_of, sigmoid_np
+            import numpy as _np
+
+            outs, tgts, recs = [], [], []
+            for batch in pipe.batches():
+                logits = _np.asarray(eval_step(params, batch["x"]),
+                                     dtype=_np.float32)
+                outs.append(sigmoid_np(logits))
+                tgts.append(_np.asarray(batch["y"], dtype=_np.float32))
+                recs.append(_np.asarray(batch["record_index"]))
+            scores = _np.concatenate(outs)
+            targets = _np.concatenate(tgts)
+            rec = _np.concatenate(recs)
+            _, scores = average_ensemble_views(scores, rec)
+            _, targets = average_ensemble_views(targets, rec)
+            from aum_tpu.train import calculate_stats, d_prime as _dp
+            stats = calculate_stats(scores, targets)
+            auc = float(_np.nanmean([st["auc"] for st in stats]))
+            metrics = {
+                "mAP": float(_np.nanmean([st["AP"] for st in stats])),
+                "AUC": auc,
+                "acc": stats[0]["acc"],
+                "d_prime": _dp(auc) if 0 < auc < 1 else float("nan"),
+                "loss": float("nan"), "main": None}
+            metrics["main"] = metrics[
+                "acc" if cfg.metrics == "acc" else "mAP"]
+        else:
+            metrics, scores, targets = evaluate(
+                eval_step, params, pipe.batches(), cfg.loss, cfg.metrics)
         print(json.dumps({k: v for k, v in metrics.items()}, default=float))
         np.savetxt(os.path.join(args.exp_dir, "predictions_eval.csv"),
                    scores, delimiter=",")

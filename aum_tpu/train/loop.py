@@ -158,9 +158,11 @@ def evaluate(
     the val loss on the *sigmoided* outputs as well, :280-283; reproduced).
     Returns (metrics dict, scores, targets).
     """
+    from aum_tpu.data.pipeline import Prefetcher
+
     outs, tgts, losses = [], [], []
     loss_of = loss_fn_of(loss_type)
-    for batch in batches:
+    for batch in Prefetcher(iter(batches)):
         logits = eval_step(params, batch["x"])
         logits = np.asarray(logits, dtype=np.float32)
         scores = sigmoid_np(logits)

@@ -196,3 +196,47 @@ def test_epic_flexi_pipeline(epic_h5):
         assert t % 16 == 0 or t == cfg.num_frames
         assert b["x"].shape[2] == cfg.num_frequencies
         assert np.isfinite(np.asarray(b["x"])).all()
+
+
+def test_epic_runner_end_to_end(epic_h5, tmp_path):
+    """The EPIC branch of aum_tpu.run: yaml-free config, hdf5 pipeline,
+    CE training + val, checkpoints."""
+    from aum_tpu.run import main
+
+    ann, h5, cfg = epic_h5
+    exp_dir = str(tmp_path / "epicexp")
+    history = main([
+        "--recipe", "epic_sounds/aum-base_scratch",
+        "--epic-hdf5", h5,
+        "--epic-annotations-train", ann,
+        "--epic-annotations-val", ann,
+        "--exp-dir", exp_dir,
+        "--num-workers", "1",
+        "--set", "depth=2", "--set", "model_type=tiny",
+        "--set", "n_class=5", "--set", "batch_size=2",
+        "--set", "n_epochs=1", "--set", "dtype=float32",
+        "--set", "audio_length=64", "--set", "timem=8", "--set", "freqm=8",
+    ])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss"])
+    import os
+
+    assert os.path.exists(os.path.join(exp_dir, "result.csv"))
+
+
+def test_epic_runner_test_split_ensemble_eval(epic_h5, tmp_path):
+    from aum_tpu.run import main
+
+    ann, h5, cfg = epic_h5
+    m = main([
+        "--recipe", "epic_sounds/aum-base_scratch",
+        "--epic-hdf5", h5,
+        "--epic-annotations-test", ann,
+        "--exp-dir", str(tmp_path / "epiceval"),
+        "--run-type", "eval",
+        "--num-workers", "1",
+        "--set", "depth=2", "--set", "model_type=tiny",
+        "--set", "n_class=5", "--set", "batch_size=2",
+        "--set", "dtype=float32", "--set", "audio_length=64",
+    ])
+    assert 0.0 <= m["acc"] <= 1.0
