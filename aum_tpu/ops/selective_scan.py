@@ -396,6 +396,32 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
 # ---------------------------------------------------------------------------
 
 
+def _choose_l(l: int, target: int) -> tuple[int, int]:
+    """(l_pad, l_chunk) minimizing padding waste.
+
+    Naive round-up to a power-of-two chunk padded L=513 to 640 — 20% wasted
+    scan work (confirmed by device profiling). Instead scan candidate pads
+    (8-aligned) and take the first whose largest 8-multiple divisor gives a
+    reasonable chunk: 513 -> pad 520, chunk 104 (1.3% waste).
+    """
+    if l <= target:
+        c = _round_up(l, 8)
+        return c, c
+    best = None
+    for pad in range(_round_up(l, 8), _round_up(l, target) + 1, 8):
+        c = _largest_divisor_leq(pad, target, 8)
+        if c < 48:
+            continue
+        if best is None or (pad - l) < (best[0] - l):
+            best = (pad, c)
+        if pad - l < 8:
+            break
+    if best is None:
+        pad = _round_up(l, target)
+        best = (pad, target)
+    return best
+
+
 def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
     """Pad L to a chunk multiple and N to a sublane multiple; pick tilings."""
     bsz, l, d = u.shape
@@ -405,8 +431,7 @@ def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
     if d % 128 != 0:
         d_block = _largest_divisor_leq(d, d_block_target, 8)
 
-    l_chunk = min(l_chunk_target, _round_up(l, 8))
-    l_pad = _round_up(l, l_chunk)
+    l_pad, l_chunk = _choose_l(l, l_chunk_target)
     n_pad = max(8, _round_up(n, 8))
 
     if l_pad != l:

@@ -169,6 +169,7 @@ def build_model_and_params(cfg, rng, example_x):
             input_fdim=cfg.melbins, input_tdim=cfg.audio_length,
             embed_dim=768 if cfg.model_type == "base" else 384,
             num_heads=12 if cfg.model_type == "base" else 6,
+            depth=cfg.depth if cfg.depth is not None else 12,
             dtype=cfg.dtype)
         model = ASTModel(acfg)
         return model, model.init(rng, example_x)

@@ -146,3 +146,24 @@ def test_run_train_resume(spc_like_data, tmp_path):
                              "--ckpt", os.path.join(d1, "models")])
     assert len(history) == 1
     assert os.path.exists(os.path.join(d2, "models", "latest.json"))
+
+
+def test_run_ast_model(spc_like_data, tmp_path):
+    """The AST branch of the runner (reference run.py:196-223)."""
+    from aum_tpu.run import main
+
+    history = main([
+        "--recipe", "speechcommands/aum-base_scratch",
+        "--data-train", spc_like_data["train"],
+        "--data-val", spc_like_data["valid"],
+        "--label-csv", spc_like_data["csv"],
+        "--exp-dir", str(tmp_path / "astexp"),
+        "--num-workers", "2",
+        "--set", "model=ast", "--set", "model_type=small",
+        "--set", "depth=2", "--set", "n_class=4",
+        "--set", "batch_size=8", "--set", "n_epochs=1",
+        "--set", "dtype=float32", "--set", "noise=False",
+        "--set", "fstride=16", "--set", "tstride=16",
+    ])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss"])
