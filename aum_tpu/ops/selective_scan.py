@@ -85,13 +85,19 @@ def _fwd_kernel_z(
     u_ref, delta_ref, at_ref, b_ref, c_ref, d_ref, bias_ref, z_ref,
     out_ref, xb_ref,
     state_ref, a_scr, dbu_scr, x_scr,
-    *, l_chunk: int, reverse: bool, save_states: bool,
+    *, l_chunk: int, reverse: bool, save_states: bool, seq_len: int,
 ):
     """Forward kernel with fused D-skip and SiLU(z) gating.
 
     Blocks carry a leading batch-tile dim (b_t): b_t independent recurrence
     chains advance together in the serial loop (interleaved FMA chains hide
     each other's latency and cut grid steps by b_t for large batches).
+
+    Inputs are NOT padded on the host: the last chunk's blocks overhang the
+    array (Pallas allows out-of-bounds blocks; overhang reads are garbage,
+    overhang writes are discarded). Positions >= seq_len are neutralized by
+    forcing dt=0 there (decay exp(0)=1 passes the state through, input term
+    is 0), so the recurrence is exact regardless of scan direction.
     """
     l = pl.program_id(2)
 
@@ -102,13 +108,19 @@ def _fwd_kernel_z(
     if save_states:
         xb_ref[...] = state_ref[...][:, None]
 
-    u = u_ref[...].astype(jnp.float32)          # (b_t, L_c, d_b)
+    logical = (pl.num_programs(2) - 1 - l) if reverse else l
+    mask = _pos_mask(logical, l_chunk, seq_len, u_ref.shape)
+    # Overhang reads may be arbitrary bits (incl. NaN/inf): every loaded
+    # per-position tensor must be masked, since 0 * NaN = NaN would poison
+    # the carried state.
+    u = jnp.where(mask, u_ref[...].astype(jnp.float32), 0.0)  # (b_t,L_c,d_b)
     delta = delta_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
-    bm = b_ref[...].astype(jnp.float32)         # (b_t, L_c, N)
-    cm = c_ref[...].astype(jnp.float32)
+    bm = jnp.where(mask, b_ref[...].astype(jnp.float32), 0.0)  # (b_t,L_c,N)
+    cm = jnp.where(mask, c_ref[...].astype(jnp.float32), 0.0)
 
     dt = jax.nn.softplus(delta + bias_ref[...].astype(jnp.float32)[None])
+    dt = jnp.where(mask, dt, 0.0)
 
     a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
     dbu_scr[...] = (dt * u)[:, :, None, :] * bm[:, :, :, None]
@@ -125,8 +137,15 @@ def _fwd_kernel_z(
 
     y = jnp.sum(x_scr[...] * cm[:, :, :, None], axis=2)  # (b_t, L_c, d_b)
     ycore = y + d_ref[...].astype(jnp.float32)[None] * u
-    zf = z_ref[...].astype(jnp.float32)
+    zf = jnp.where(mask, z_ref[...].astype(jnp.float32), 0.0)
     out_ref[...] = (ycore * _silu(zf)).astype(out_ref.dtype)
+
+
+def _pos_mask(l, l_chunk: int, seq_len: int, shape):
+    """(1, L_c, 1) mask over the chunk: global position < seq_len."""
+    pos = l * l_chunk + jax.lax.broadcasted_iota(
+        jnp.int32, (shape[1], 1), 0)
+    return (pos < seq_len).reshape(1, shape[1], 1)
 
 
 def _pick_b_tile(bsz: int, l_chunk: int, d_block: int, n_pad: int,
@@ -144,10 +163,10 @@ def _pick_b_tile(bsz: int, l_chunk: int, d_block: int, n_pad: int,
 
 def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
                 d_block, l_chunk, interpret, b_tile=None):
-    bsz, l_pad, d = u.shape
+    bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
     n_d = d // d_block
-    n_l = l_pad // l_chunk
+    n_l = -(-seq_len // l_chunk)  # cdiv; last chunk may overhang
     if b_tile is None:
         b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad)
     n_b = bsz // b_tile
@@ -166,7 +185,7 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
     vec_spec = pl.BlockSpec(
         (1, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
 
-    out_shapes = [jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype)]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype)]
     out_specs = [seq_spec]
     if save_states:
         out_shapes.append(
@@ -184,13 +203,13 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
 
     kernel = functools.partial(
         _fwd_kernel_z, l_chunk=l_chunk, reverse=reverse,
-        save_states=save_states)
+        save_states=save_states, seq_len=seq_len)
 
     flops_per_el = 10
     cost = pl.CostEstimate(
-        flops=flops_per_el * bsz * l_pad * d * n_pad,
-        bytes_accessed=4 * bsz * l_pad * d * 4,
-        transcendentals=bsz * l_pad * d * n_pad,
+        flops=flops_per_el * bsz * seq_len * d * n_pad,
+        bytes_accessed=4 * bsz * seq_len * d * 4,
+        transcendentals=bsz * seq_len * d * n_pad,
     )
 
     out, xb = pl.pallas_call(
@@ -225,7 +244,7 @@ def _bwd_kernel(
     du_ref, ddelta_ref, dz_ref, dat_ref, dd_ref, dbias_ref, dbp_ref, dcp_ref,
     # scratch
     lam_state, a_scr, x_scr, lam_scr, tmp_scr,
-    *, l_chunk: int, reverse: bool,
+    *, l_chunk: int, reverse: bool, seq_len: int,
 ):
     di = pl.program_id(0)
     bi = pl.program_id(1)
@@ -241,18 +260,30 @@ def _bwd_kernel(
     def _():
         lam_state[...] = jnp.zeros_like(lam_state)
 
-    u = u_ref[...].astype(jnp.float32)          # (b_t, L_c, d_b)
+    # Neutralize out-of-range positions (unpadded inputs; see _fwd_kernel_z):
+    # every per-position load is masked (overhang bits may be NaN/inf, and
+    # 0 * NaN = NaN), dt=0 makes the recurrence pass-through, and masking
+    # gy/sig zeroes every adjoint contribution from the overhang (lam there
+    # is pure propagation; dla = lam*a*xprev is killed via the dla mask).
+    lc = pl.program_id(2)
+    n_lp = pl.num_programs(2)
+    logical_chunk = lc if reverse else (n_lp - 1 - lc)
+    m = _pos_mask(logical_chunk, l_chunk, seq_len, u_ref.shape)
+
+    u = jnp.where(m, u_ref[...].astype(jnp.float32), 0.0)  # (b_t, L_c, d_b)
     delta = delta_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
-    bm = b_ref[...].astype(jnp.float32)         # (b_t, L_c, N)
-    cm = c_ref[...].astype(jnp.float32)
-    zf = z_ref[...].astype(jnp.float32)
-    g = g_ref[...].astype(jnp.float32)
+    bm = jnp.where(m, b_ref[...].astype(jnp.float32), 0.0)  # (b_t, L_c, N)
+    cm = jnp.where(m, c_ref[...].astype(jnp.float32), 0.0)
+    zf = jnp.where(m, z_ref[...].astype(jnp.float32), 0.0)
+    g = jnp.where(m, g_ref[...].astype(jnp.float32), 0.0)
     bias = bias_ref[...].astype(jnp.float32)[None]
     dsk = d_ref[...].astype(jnp.float32)[None]
 
     sig = jax.nn.sigmoid(delta + bias)
     dt = jax.nn.softplus(delta + bias)
+    dt = jnp.where(m, dt, 0.0)
+    sig = jnp.where(m, sig, 0.0)
 
     # --- Recompute in-chunk states from the saved boundary state. -----------
     a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
@@ -272,7 +303,7 @@ def _bwd_kernel(
     ycore = y + dsk * u
     sigz = jax.nn.sigmoid(zf)
     silz = zf * sigz
-    gy = g * silz                                          # dL/dy_t
+    gy = jnp.where(m, g * silz, 0.0)                       # dL/dy_t
     dz = g * ycore * (sigz * (1.0 + zf * (1.0 - sigz)))
     dz_ref[...] = dz.astype(dz_ref.dtype)
     dd_ref[...] += jnp.sum(gy * u, axis=(0, 1), keepdims=True)[0]
@@ -298,7 +329,7 @@ def _bwd_kernel(
         xprev = jnp.concatenate([xb0, x_scr[:, : l_chunk - 1]], axis=1)
 
     lam = lam_scr[...]
-    dla = lam * a_scr[...] * xprev                           # grad wrt dt*A
+    dla = lam * a_scr[...] * xprev * m[:, :, None]           # grad wrt dt*A
     dat_ref[...] += jnp.sum(dt[:, :, None, :] * dla, axis=(0, 1))
     gdtu = jnp.sum(lam * bm[:, :, :, None], axis=2)          # (b_t, L_c, d_b)
     ddt = jnp.sum(dla * a_t[None, None], axis=2) + gdtu * u
@@ -310,19 +341,21 @@ def _bwd_kernel(
         lam * (dt * u)[:, :, None, :], axis=3)[None]         # (b_t, L_c, N)
     dcp_ref[...] = jnp.sum(
         x_scr[...] * gy[:, :, None, :], axis=3)[None]
+    # (dbp is already masked through dt=0; dcp through gy=0.)
 
 
 def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
                 reverse, d_block, l_chunk, interpret, b_tile=None):
-    bsz, l_pad, d = u.shape
+    bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
     n_d = d // d_block
-    n_l = l_pad // l_chunk
+    n_l = -(-seq_len // l_chunk)  # cdiv
     if b_tile is None:
-        # The backward's five scratch buffers are all live simultaneously;
-        # stay well inside the 16MB scoped-vmem limit (a b_tile=2 config at
-        # model shapes compiled to 23.3M and was rejected).
-        b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad, n_bufs=5,
+        # Calibrated cost model: ~8.4 buffer-equivalents of stack temporaries
+        # + scratch per chain (see scan_bwd). Earlier optimistic models
+        # compiled to 23.3M / 17.6M scoped-vmem and were rejected by the
+        # 16MB limit, so leave margin: 9 equivalents against a 12M budget.
+        b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad, n_bufs=9,
                               budget_bytes=12 * 2 ** 20)
     n_b = bsz // b_tile
 
@@ -351,25 +384,26 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
         (1, b_tile, l_chunk, n_pad), lambda di, bi, li: (di, bi, cmap(li), 0),
         memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_bwd_kernel, l_chunk=l_chunk, reverse=reverse)
+    kernel = functools.partial(_bwd_kernel, l_chunk=l_chunk, reverse=reverse,
+                               seq_len=seq_len)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype),        # du
-        jax.ShapeDtypeStruct((bsz, l_pad, d), delta.dtype),    # ddelta
-        jax.ShapeDtypeStruct((bsz, l_pad, d), z.dtype),        # dz
+        jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype),      # du
+        jax.ShapeDtypeStruct((bsz, seq_len, d), delta.dtype),  # ddelta
+        jax.ShapeDtypeStruct((bsz, seq_len, d), z.dtype),      # dz
         jax.ShapeDtypeStruct((n_pad, d), jnp.float32),         # dA_T
         jax.ShapeDtypeStruct((1, d), jnp.float32),             # dD
         jax.ShapeDtypeStruct((1, d), jnp.float32),             # dbias
-        jax.ShapeDtypeStruct((n_d, bsz, l_pad, n_pad), jnp.float32),  # dB part
-        jax.ShapeDtypeStruct((n_d, bsz, l_pad, n_pad), jnp.float32),  # dC part
+        jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), jnp.float32),
     ]
     out_specs = [seq_spec, seq_spec, seq_spec, at_spec, vec_spec, vec_spec,
                  part_spec, part_spec]
 
     cost = pl.CostEstimate(
-        flops=30 * bsz * l_pad * d * n_pad,
-        bytes_accessed=8 * bsz * l_pad * d * 4,
-        transcendentals=2 * bsz * l_pad * d * n_pad,
+        flops=30 * bsz * seq_len * d * n_pad,
+        bytes_accessed=8 * bsz * seq_len * d * 4,
+        transcendentals=2 * bsz * seq_len * d * n_pad,
     )
 
     return pl.pallas_call(
@@ -423,7 +457,13 @@ def _choose_l(l: int, target: int) -> tuple[int, int]:
 
 
 def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
-    """Pad L to a chunk multiple and N to a sublane multiple; pick tilings."""
+    """Pick tilings and pad only the (tiny) state dim.
+
+    The sequence is NOT padded: the kernels' final chunk overhangs the array
+    (Pallas masks overhang writes; overhang reads are neutralized in-kernel
+    via the position mask). This removes five HBM-round-trip pad ops and an
+    output slice per scan call.
+    """
     bsz, l, d = u.shape
     n = A.shape[1]
 
@@ -431,16 +471,9 @@ def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
     if d % 128 != 0:
         d_block = _largest_divisor_leq(d, d_block_target, 8)
 
-    l_pad, l_chunk = _choose_l(l, l_chunk_target)
+    _, l_chunk = _choose_l(l, l_chunk_target)
     n_pad = max(8, _round_up(n, 8))
 
-    if l_pad != l:
-        pad = [(0, 0), (0, l_pad - l), (0, 0)]
-        u = jnp.pad(u, pad)
-        z = jnp.pad(z, pad)
-        delta = jnp.pad(delta, pad, constant_values=_NEG)
-        B = jnp.pad(B, [(0, 0), (0, l_pad - l), (0, 0)])
-        C = jnp.pad(C, [(0, 0), (0, l_pad - l), (0, 0)])
     if n_pad != n:
         B = jnp.pad(B, [(0, 0), (0, 0), (0, n_pad - n)])
         C = jnp.pad(C, [(0, 0), (0, 0), (0, n_pad - n)])
@@ -467,7 +500,7 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
             up, dp, a_t, bp, cp, dsk, bias, zp, reverse=reverse,
             save_states=False, d_block=d_block, l_chunk=l_chunk,
             interpret=interpret, b_tile=b_tile)
-        return out[:, :l]
+        return out
 
     def scan_fwd(u, delta, A, B, C, D, z, delta_bias):
         up, dp, a_t, bp, cp, dsk, bias, zp, d_block, l_chunk, l, _ = _prep(
@@ -479,21 +512,22 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
             interpret=interpret, b_tile=b_tile)
         res = (up, dp, a_t, bp, cp, dsk, bias, zp, xb, d_block, l_chunk, l,
                A.shape[1], delta_bias is not None)
-        return out[:, :l], res
+        return out, res
 
     def scan_bwd(res, gout):
         (up, dp, a_t, bp, cp, dsk, bias, zp, xb, d_block, l_chunk, l, n,
          has_bias) = res
-        l_pad = up.shape[1]
-        if l_pad != l:
-            gout = jnp.pad(gout, [(0, 0), (0, l_pad - l), (0, 0)])
-        # The backward holds 4 (l_chunk, N, d_b) fp32 scratch buffers; pick a
-        # d-tile that keeps them within ~10MB of VMEM. The forward's saved
+        # The backward holds 4 (l_chunk, N, d_b) fp32 scratch buffers PLUS
+        # roughly as much again in Mosaic stack temporaries (xprev concat,
+        # lam*a products, masked loads): measured scoped-vmem is ~8.4 buffer
+        # equivalents of l_chunk*n_pad*d_block*4 bytes (17.61M at d_block=256,
+        # l_chunk=128, N=16 — over the 16M limit). Pick the largest d-tile
+        # whose calibrated estimate stays under 15.5M. The forward's saved
         # boundary states are tiled over d by the BlockSpec, so the backward
         # d-tile is independent of the forward's (only l_chunk must match).
         d = up.shape[2]
         n_pad = a_t.shape[0]
-        budget = (10 * 2**20) // (l_chunk * n_pad * 4 * 4)
+        budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
         bwd_target = min(d_block, max(128, (budget // 128) * 128))
         bwd_block = _largest_divisor_leq(d, bwd_target, 128)
         if d % 128 != 0:
@@ -502,11 +536,10 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
             up, dp, a_t, bp, cp, dsk, bias, zp, gout, xb, reverse=reverse,
             d_block=bwd_block, l_chunk=l_chunk, interpret=interpret)
         dA = jnp.swapaxes(dat, 0, 1)[:, :n]
-        dB = jnp.sum(dbp, axis=0)[:, :l, :n].astype(bp.dtype)
-        dC = jnp.sum(dcp, axis=0)[:, :l, :n].astype(cp.dtype)
+        dB = jnp.sum(dbp, axis=0)[..., :n].astype(bp.dtype)
+        dC = jnp.sum(dcp, axis=0)[..., :n].astype(cp.dtype)
         ddb = dbias[0] if has_bias else None
-        return (du[:, :l], ddelta[:, :l], dA, dB, dC, dd[0],
-                dz[:, :l], ddb)
+        return (du, ddelta, dA, dB, dC, dd[0], dz, ddb)
 
     scan.defvjp(scan_fwd, scan_bwd)
     return scan
@@ -571,7 +604,7 @@ def _fwd_kernel_dual(
     outf_ref, outr_ref, xbf_ref, xbr_ref,
     statef_ref, stater_ref, af_scr, ar_scr, dbuf_scr, dbur_scr,
     xf_scr, xr_scr,
-    *, l_chunk: int, save_states: bool,
+    *, l_chunk: int, save_states: bool, seq_len: int,
 ):
     l = pl.program_id(2)
 
@@ -584,21 +617,29 @@ def _fwd_kernel_dual(
         xbf_ref[...] = statef_ref[...][:, None]
         xbr_ref[...] = stater_ref[...][:, None]
 
-    uf = uf_ref[...].astype(jnp.float32)          # (b_t, L_c, d_b)
-    ur = ur_ref[...].astype(jnp.float32)
+    n_l = pl.num_programs(2)
+    # Forward branch walks chunks left-to-right, reverse branch right-to-left;
+    # each gets its own overhang mask (see _fwd_kernel_z for why every loaded
+    # per-position tensor is masked, not just dt).
+    mf = _pos_mask(l, l_chunk, seq_len, uf_ref.shape)
+    mr = _pos_mask(n_l - 1 - l, l_chunk, seq_len, ur_ref.shape)
+    uf = jnp.where(mf, uf_ref[...].astype(jnp.float32), 0.0)  # (b_t,L_c,d_b)
+    ur = jnp.where(mr, ur_ref[...].astype(jnp.float32), 0.0)
     dtf = jax.nn.softplus(df_ref[...].astype(jnp.float32)
                           + biasf_ref[...].astype(jnp.float32)[None])
     dtr = jax.nn.softplus(dr_ref[...].astype(jnp.float32)
                           + biasr_ref[...].astype(jnp.float32)[None])
+    dtf = jnp.where(mf, dtf, 0.0)
+    dtr = jnp.where(mr, dtr, 0.0)
 
     af_scr[...] = jnp.exp(
         dtf[:, :, None, :] * atf_ref[...].astype(jnp.float32)[None, None])
     ar_scr[...] = jnp.exp(
         dtr[:, :, None, :] * atr_ref[...].astype(jnp.float32)[None, None])
-    dbuf_scr[...] = (dtf * uf)[:, :, None, :] * bf_ref[...].astype(
-        jnp.float32)[:, :, :, None]
-    dbur_scr[...] = (dtr * ur)[:, :, None, :] * br_ref[...].astype(
-        jnp.float32)[:, :, :, None]
+    dbuf_scr[...] = (dtf * uf)[:, :, None, :] * jnp.where(
+        mf, bf_ref[...].astype(jnp.float32), 0.0)[:, :, :, None]
+    dbur_scr[...] = (dtr * ur)[:, :, None, :] * jnp.where(
+        mr, br_ref[...].astype(jnp.float32), 0.0)[:, :, :, None]
 
     def body(i, carry):
         xf, xr = carry
@@ -615,16 +656,16 @@ def _fwd_kernel_dual(
     statef_ref[...] = statef
     stater_ref[...] = stater
 
-    yf = jnp.sum(xf_scr[...] * cf_ref[...].astype(jnp.float32)[:, :, :, None],
-                 axis=2)
-    yr = jnp.sum(xr_scr[...] * cr_ref[...].astype(jnp.float32)[:, :, :, None],
-                 axis=2)
+    cf = jnp.where(mf, cf_ref[...].astype(jnp.float32), 0.0)
+    cr = jnp.where(mr, cr_ref[...].astype(jnp.float32), 0.0)
+    yf = jnp.sum(xf_scr[...] * cf[:, :, :, None], axis=2)
+    yr = jnp.sum(xr_scr[...] * cr[:, :, :, None], axis=2)
     ycf = yf + dskf_ref[...].astype(jnp.float32)[None] * uf
     ycr = yr + dskr_ref[...].astype(jnp.float32)[None] * ur
-    outf_ref[...] = (ycf * _silu(zf_ref[...].astype(jnp.float32))).astype(
-        outf_ref.dtype)
-    outr_ref[...] = (ycr * _silu(zr_ref[...].astype(jnp.float32))).astype(
-        outr_ref.dtype)
+    zff = jnp.where(mf, zf_ref[...].astype(jnp.float32), 0.0)
+    zrr = jnp.where(mr, zr_ref[...].astype(jnp.float32), 0.0)
+    outf_ref[...] = (ycf * _silu(zff)).astype(outf_ref.dtype)
+    outr_ref[...] = (ycr * _silu(zrr)).astype(outr_ref.dtype)
 
 
 def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
@@ -632,10 +673,10 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
     """args_f/args_r: (u, delta, a_t, bm, cm, dsk, bias, z) per direction.
     Forward direction scans chunks left->right, reverse right->left."""
     u = args_f[0]
-    bsz, l_pad, d = u.shape
+    bsz, seq_len, d = u.shape
     n_pad = args_f[2].shape[0]
     n_d = d // d_block
-    n_l = l_pad // l_chunk
+    n_l = -(-seq_len // l_chunk)  # cdiv; last chunk may overhang
     if b_tile is None:
         env_bt = _os.environ.get("AUM_SCAN_BTILE")
         if env_bt and bsz % int(env_bt) == 0:
@@ -671,8 +712,8 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
                             memory_space=pltpu.VMEM)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype),
-        jax.ShapeDtypeStruct((bsz, l_pad, d), u.dtype),
+        jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype),
+        jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype),
     ]
     out_specs = [seq_f, seq_r]
     if save_states:
@@ -689,11 +730,11 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
                 memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
-                               save_states=save_states)
+                               save_states=save_states, seq_len=seq_len)
     cost = pl.CostEstimate(
-        flops=20 * bsz * l_pad * d * n_pad,
-        bytes_accessed=8 * bsz * l_pad * d * 4,
-        transcendentals=2 * bsz * l_pad * d * n_pad,
+        flops=20 * bsz * seq_len * d * n_pad,
+        bytes_accessed=8 * bsz * seq_len * d * 4,
+        transcendentals=2 * bsz * seq_len * d * n_pad,
     )
     outs = pl.pallas_call(
         kernel,
@@ -741,7 +782,7 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
             (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr),
             save_states=False, d_block=d_block, l_chunk=l_chunk,
             interpret=interpret)
-        return outf[:, :l], outr[:, :l]
+        return outf, outr
 
     def dual_fwd(uf, df, af, bf, cf, dskf, zf, biasf,
                  ur, dr, ar, br, cr, dskr, zr, biasr):
@@ -757,18 +798,15 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
             save_states=True, d_block=d_block, l_chunk=l_chunk,
             interpret=interpret)
         res = (pf[:8], pr[:8], xbf, xbr, d_block, l_chunk, l, nf, nr)
-        return (outf[:, :l], outr[:, :l]), res
+        return (outf, outr), res
 
     def dual_bwd(res, gout):
         argsf, argsr, xbf, xbr, d_block, l_chunk, l, nf, nr = res
         gf, gr = gout
-        l_pad = argsf[0].shape[1]
         d = argsf[0].shape[2]
-        if l_pad != l:
-            gf = jnp.pad(gf, [(0, 0), (0, l_pad - l), (0, 0)])
-            gr = jnp.pad(gr, [(0, 0), (0, l_pad - l), (0, 0)])
         n_pad = argsf[2].shape[0]
-        budget = (10 * 2 ** 20) // (l_chunk * n_pad * 4 * 4)
+        # Same calibrated scoped-vmem model as the single-direction scan_bwd.
+        budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
         bwd_target = min(d_block, max(128, (budget // 128) * 128))
         bwd_block = _largest_divisor_leq(d, bwd_target, 128)
         if d % 128 != 0:
@@ -780,10 +818,9 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
                 up, dp, a_t, bp, cp, dsk, bias, zp, g, xb, reverse=reverse,
                 d_block=bwd_block, l_chunk=l_chunk, interpret=interpret)
             dA = jnp.swapaxes(dat, 0, 1)[:, :n]
-            dB = jnp.sum(dbp, axis=0)[:, :l, :n].astype(bp.dtype)
-            dC = jnp.sum(dcp, axis=0)[:, :l, :n].astype(cp.dtype)
-            return (du[:, :l], dd[:, :l], dA, dB, dC, ddsk[0], dz[:, :l],
-                    dbias[0])
+            dB = jnp.sum(dbp, axis=0)[..., :n].astype(bp.dtype)
+            dC = jnp.sum(dcp, axis=0)[..., :n].astype(cp.dtype)
+            return (du, dd, dA, dB, dC, ddsk[0], dz, dbias[0])
 
         gradsf = one(argsf, xbf, gf, False, nf)
         gradsr = one(argsr, xbr, gr, True, nr)
