@@ -72,8 +72,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _sigmoid(x):
+    # Primitives-only stable sigmoid (jax.nn.sigmoid is custom_jvp-wrapped;
+    # its closed_call jaxpr trips the MLIR lowering cache inside Pallas
+    # kernels that get inlined under an outer scan/fori_loop).
+    return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+
+
+def _softplus(x):
+    # Primitives-only stable softplus (same closed_call rationale as above).
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    return x * _sigmoid(x)
 
 
 # ---------------------------------------------------------------------------
@@ -113,14 +125,14 @@ def _fwd_kernel_z(
     # Overhang reads may be arbitrary bits (incl. NaN/inf): every loaded
     # per-position tensor must be masked, since 0 * NaN = NaN would poison
     # the carried state.
-    u = jnp.where(mask, u_ref[...].astype(jnp.float32), 0.0)  # (b_t,L_c,d_b)
+    u = _mask0(mask, u_ref[...].astype(jnp.float32))  # (b_t,L_c,d_b)
     delta = delta_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
-    bm = jnp.where(mask, b_ref[...].astype(jnp.float32), 0.0)  # (b_t,L_c,N)
-    cm = jnp.where(mask, c_ref[...].astype(jnp.float32), 0.0)
+    bm = _mask0(mask, b_ref[...].astype(jnp.float32))  # (b_t,L_c,N)
+    cm = _mask0(mask, c_ref[...].astype(jnp.float32))
 
-    dt = jax.nn.softplus(delta + bias_ref[...].astype(jnp.float32)[None])
-    dt = jnp.where(mask, dt, 0.0)
+    dt = _softplus(delta + bias_ref[...].astype(jnp.float32)[None])
+    dt = _mask0(mask, dt)
 
     a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
     dbu_scr[...] = (dt * u)[:, :, None, :] * bm[:, :, :, None]
@@ -137,7 +149,7 @@ def _fwd_kernel_z(
 
     y = jnp.sum(x_scr[...] * cm[:, :, :, None], axis=2)  # (b_t, L_c, d_b)
     ycore = y + d_ref[...].astype(jnp.float32)[None] * u
-    zf = jnp.where(mask, z_ref[...].astype(jnp.float32), 0.0)
+    zf = _mask0(mask, z_ref[...].astype(jnp.float32))
     out_ref[...] = (ycore * _silu(zf)).astype(out_ref.dtype)
 
 
@@ -146,6 +158,16 @@ def _pos_mask(l, l_chunk: int, seq_len: int, shape):
     pos = l * l_chunk + jax.lax.broadcasted_iota(
         jnp.int32, (shape[1], 1), 0)
     return (pos < seq_len).reshape(1, shape[1], 1)
+
+
+def _mask0(m, x):
+    """x where m else 0 (kills NaN/inf from overhang reads, unlike x*m).
+
+    Uses lax.select directly: jnp.where is internally jit-wrapped and its
+    closed_call jaxpr trips the MLIR lowering cache when the masked value is
+    sliced many times inside the unrolled scan loop.
+    """
+    return jax.lax.select(jnp.broadcast_to(m, x.shape), x, jnp.zeros_like(x))
 
 
 def _pick_b_tile(bsz: int, l_chunk: int, d_block: int, n_pad: int,
@@ -270,20 +292,20 @@ def _bwd_kernel(
     logical_chunk = lc if reverse else (n_lp - 1 - lc)
     m = _pos_mask(logical_chunk, l_chunk, seq_len, u_ref.shape)
 
-    u = jnp.where(m, u_ref[...].astype(jnp.float32), 0.0)  # (b_t, L_c, d_b)
+    u = _mask0(m, u_ref[...].astype(jnp.float32))  # (b_t, L_c, d_b)
     delta = delta_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
-    bm = jnp.where(m, b_ref[...].astype(jnp.float32), 0.0)  # (b_t, L_c, N)
-    cm = jnp.where(m, c_ref[...].astype(jnp.float32), 0.0)
-    zf = jnp.where(m, z_ref[...].astype(jnp.float32), 0.0)
-    g = jnp.where(m, g_ref[...].astype(jnp.float32), 0.0)
+    bm = _mask0(m, b_ref[...].astype(jnp.float32))  # (b_t, L_c, N)
+    cm = _mask0(m, c_ref[...].astype(jnp.float32))
+    zf = _mask0(m, z_ref[...].astype(jnp.float32))
+    g = _mask0(m, g_ref[...].astype(jnp.float32))
     bias = bias_ref[...].astype(jnp.float32)[None]
     dsk = d_ref[...].astype(jnp.float32)[None]
 
-    sig = jax.nn.sigmoid(delta + bias)
-    dt = jax.nn.softplus(delta + bias)
-    dt = jnp.where(m, dt, 0.0)
-    sig = jnp.where(m, sig, 0.0)
+    sig = _sigmoid(delta + bias)
+    dt = _softplus(delta + bias)
+    dt = _mask0(m, dt)
+    sig = _mask0(m, sig)
 
     # --- Recompute in-chunk states from the saved boundary state. -----------
     a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
@@ -301,9 +323,9 @@ def _bwd_kernel(
     # --- Recompute outputs of the chunk and gating grads. -------------------
     y = jnp.sum(x_scr[...] * cm[:, :, :, None], axis=2)    # (b_t, L_c, d_b)
     ycore = y + dsk * u
-    sigz = jax.nn.sigmoid(zf)
+    sigz = _sigmoid(zf)
     silz = zf * sigz
-    gy = jnp.where(m, g * silz, 0.0)                       # dL/dy_t
+    gy = _mask0(m, g * silz)                       # dL/dy_t
     dz = g * ycore * (sigz * (1.0 + zf * (1.0 - sigz)))
     dz_ref[...] = dz.astype(dz_ref.dtype)
     dd_ref[...] += jnp.sum(gy * u, axis=(0, 1), keepdims=True)[0]
@@ -602,8 +624,8 @@ def _fwd_kernel_dual(
     uf_ref, df_ref, atf_ref, bf_ref, cf_ref, dskf_ref, biasf_ref, zf_ref,
     ur_ref, dr_ref, atr_ref, br_ref, cr_ref, dskr_ref, biasr_ref, zr_ref,
     outf_ref, outr_ref, xbf_ref, xbr_ref,
-    statef_ref, stater_ref, af_scr, ar_scr, dbuf_scr, dbur_scr,
-    xf_scr, xr_scr,
+    statef_ref, stater_ref, af_scr, ar_scr,
+    xf_scr, xr_scr, dtuf_scr, dtur_scr, bfm_scr, brm_scr,
     *, l_chunk: int, save_states: bool, seq_len: int,
 ):
     l = pl.program_id(2)
@@ -623,29 +645,42 @@ def _fwd_kernel_dual(
     # per-position tensor is masked, not just dt).
     mf = _pos_mask(l, l_chunk, seq_len, uf_ref.shape)
     mr = _pos_mask(n_l - 1 - l, l_chunk, seq_len, ur_ref.shape)
-    uf = jnp.where(mf, uf_ref[...].astype(jnp.float32), 0.0)  # (b_t,L_c,d_b)
-    ur = jnp.where(mr, ur_ref[...].astype(jnp.float32), 0.0)
-    dtf = jax.nn.softplus(df_ref[...].astype(jnp.float32)
+    uf = _mask0(mf, uf_ref[...].astype(jnp.float32))  # (b_t,L_c,d_b)
+    ur = _mask0(mr, ur_ref[...].astype(jnp.float32))
+    dtf = _softplus(df_ref[...].astype(jnp.float32)
                           + biasf_ref[...].astype(jnp.float32)[None])
-    dtr = jax.nn.softplus(dr_ref[...].astype(jnp.float32)
+    dtr = _softplus(dr_ref[...].astype(jnp.float32)
                           + biasr_ref[...].astype(jnp.float32)[None])
-    dtf = jnp.where(mf, dtf, 0.0)
-    dtr = jnp.where(mr, dtr, 0.0)
+    dtf = _mask0(mf, dtf)
+    dtr = _mask0(mr, dtr)
 
-    af_scr[...] = jnp.exp(
-        dtf[:, :, None, :] * atf_ref[...].astype(jnp.float32)[None, None])
-    ar_scr[...] = jnp.exp(
-        dtr[:, :, None, :] * atr_ref[...].astype(jnp.float32)[None, None])
-    dbuf_scr[...] = (dtf * uf)[:, :, None, :] * jnp.where(
-        mf, bf_ref[...].astype(jnp.float32), 0.0)[:, :, :, None]
-    dbur_scr[...] = (dtr * ur)[:, :, None, :] * jnp.where(
-        mr, br_ref[...].astype(jnp.float32), 0.0)[:, :, :, None]
+    # exp(dt·A) as exp2((dt·log2e)·A): folding log2(e) into the (L_c, d_b)
+    # dt factor skips the hidden per-(L_c, N, d_b) multiply inside exp's
+    # lowering (exp = exp2(x·log2e) on the VPU).
+    _LOG2E = 1.4426950408889634
+    af_scr[...] = jnp.exp2(
+        (dtf * _LOG2E)[:, :, None, :]
+        * atf_ref[...].astype(jnp.float32)[None, None])
+    ar_scr[...] = jnp.exp2(
+        (dtr * _LOG2E)[:, :, None, :]
+        * atr_ref[...].astype(jnp.float32)[None, None])
+    # The input term dt·u ⊗ B is formed per-step in the loop (one broadcast
+    # multiply of (d_b) × (N) factors read from small scratch) instead of
+    # materializing a (L_c, N, d_b) chunk tensor: saves a full chunk-width
+    # VMEM write+read per direction. The factors go through scratch refs —
+    # Mosaic supports dynamic indexing on refs, not on values.
+    dtuf_scr[...] = dtf * uf
+    dtur_scr[...] = dtr * ur
+    bfm_scr[...] = _mask0(mf, bf_ref[...].astype(jnp.float32))
+    brm_scr[...] = _mask0(mr, br_ref[...].astype(jnp.float32))
 
     def body(i, carry):
         xf, xr = carry
         tr = l_chunk - 1 - i
-        xf = af_scr[:, i] * xf + dbuf_scr[:, i]
-        xr = ar_scr[:, tr] * xr + dbur_scr[:, tr]
+        xf = (af_scr[:, i] * xf
+              + dtuf_scr[:, i][:, None, :] * bfm_scr[:, i][:, :, None])
+        xr = (ar_scr[:, tr] * xr
+              + dtur_scr[:, tr][:, None, :] * brm_scr[:, tr][:, :, None])
         xf_scr[:, i] = xf
         xr_scr[:, tr] = xr
         return (xf, xr)
@@ -656,14 +691,14 @@ def _fwd_kernel_dual(
     statef_ref[...] = statef
     stater_ref[...] = stater
 
-    cf = jnp.where(mf, cf_ref[...].astype(jnp.float32), 0.0)
-    cr = jnp.where(mr, cr_ref[...].astype(jnp.float32), 0.0)
+    cf = _mask0(mf, cf_ref[...].astype(jnp.float32))
+    cr = _mask0(mr, cr_ref[...].astype(jnp.float32))
     yf = jnp.sum(xf_scr[...] * cf[:, :, :, None], axis=2)
     yr = jnp.sum(xr_scr[...] * cr[:, :, :, None], axis=2)
     ycf = yf + dskf_ref[...].astype(jnp.float32)[None] * uf
     ycr = yr + dskr_ref[...].astype(jnp.float32)[None] * ur
-    zff = jnp.where(mf, zf_ref[...].astype(jnp.float32), 0.0)
-    zrr = jnp.where(mr, zr_ref[...].astype(jnp.float32), 0.0)
+    zff = _mask0(mf, zf_ref[...].astype(jnp.float32))
+    zrr = _mask0(mr, zr_ref[...].astype(jnp.float32))
     outf_ref[...] = (ycf * _silu(zff)).astype(outf_ref.dtype)
     outr_ref[...] = (ycr * _silu(zrr)).astype(outr_ref.dtype)
 
@@ -747,7 +782,9 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         out_shape=out_shapes,
         scratch_shapes=(
             [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
-            + [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32)] * 6
+            + [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32)] * 4
+            + [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
+            + [pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32)] * 2
         ),
         cost_estimate=cost,
         interpret=interpret,
