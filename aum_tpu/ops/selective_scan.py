@@ -903,15 +903,15 @@ def selective_scan_dual(
         yr = selective_scan_ref(ur, dr, ar, br, cr, dskr, zr, biasr,
                                 delta_softplus=True, reverse=True)
         return yf, yr
-    bsz = args_fwd[0].shape[0]
-    # Measured-best tilings (docs/DESIGN.md §6): batch-tiled (256, 64, bt=4)
-    # is ~4x faster than (512, 128, bt=1) once the batch supports 4 chains.
+    # Measured-best tiling (docs/DESIGN.md §6): (512, chunk target 128 →
+    # _choose_l picks the minimal-overhang chunk, 104 at L=513, b_tile=1)
+    # wins at every batch size swept (B=12..128) — big d-tiles beat batch
+    # tiling once the conv/padding HBM overheads were removed. Overridable
+    # via AUM_SCAN_DBLOCK / AUM_SCAN_LCHUNK / AUM_SCAN_BTILE.
     if d_block is None:
-        d_block = _env_int("AUM_SCAN_DBLOCK",
-                           256 if bsz % 4 == 0 and bsz >= 16 else 512)
+        d_block = _env_int("AUM_SCAN_DBLOCK", 512)
     if l_chunk is None:
-        l_chunk = _env_int("AUM_SCAN_LCHUNK",
-                           64 if bsz % 4 == 0 and bsz >= 16 else 128)
+        l_chunk = _env_int("AUM_SCAN_LCHUNK", 128)
     dual = _make_dual_scan(d_block, l_chunk, bool(interpret))
     uf, df, af, bf, cf, dskf, zf, biasf = args_fwd
     ur, dr, ar, br, cr, dskr, zr, biasr = args_rev
