@@ -351,7 +351,11 @@ def _bwd_kernel(
         xprev = jnp.concatenate([xb0, x_scr[:, : l_chunk - 1]], axis=1)
 
     lam = lam_scr[...]
-    dla = lam * a_scr[...] * xprev * m[:, :, None]           # grad wrt dt*A
+    # No overhang mask needed on dla: every consumer already kills overhang
+    # rows — dat through dt=0, ddelta through sig=0 (and its overhang output
+    # rows are discarded), dbp through dt·u=0. Skipping the mask saves one
+    # full (b_t, L_c, N, d_b) stack temporary of scoped VMEM.
+    dla = lam * a_scr[...] * xprev                           # grad wrt dt*A
     dat_ref[...] += jnp.sum(dt[:, :, None, :] * dla, axis=(0, 1))
     gdtu = jnp.sum(lam * bm[:, :, :, None], axis=2)          # (b_t, L_c, d_b)
     ddt = jnp.sum(dla * a_t[None, None], axis=2) + gdtu * u
@@ -550,7 +554,8 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         d = up.shape[2]
         n_pad = a_t.shape[0]
         budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
-        bwd_target = min(d_block, max(128, (budget // 128) * 128))
+        bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
+                              min(d_block, max(128, (budget // 128) * 128)))
         bwd_block = _largest_divisor_leq(d, bwd_target, 128)
         if d % 128 != 0:
             bwd_block = d
@@ -844,7 +849,8 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         n_pad = argsf[2].shape[0]
         # Same calibrated scoped-vmem model as the single-direction scan_bwd.
         budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
-        bwd_target = min(d_block, max(128, (budget // 128) * 128))
+        bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
+                              min(d_block, max(128, (budget // 128) * 128)))
         bwd_block = _largest_divisor_leq(d, bwd_target, 128)
         if d % 128 != 0:
             bwd_block = d
