@@ -457,12 +457,15 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
 
 
 def _choose_l(l: int, target: int) -> tuple[int, int]:
-    """(l_pad, l_chunk) minimizing padding waste.
+    """(l_eff, l_chunk) minimizing overhang waste.
 
-    Naive round-up to a power-of-two chunk padded L=513 to 640 — 20% wasted
-    scan work (confirmed by device profiling). Instead scan candidate pads
-    (8-aligned) and take the first whose largest 8-multiple divisor gives a
-    reasonable chunk: 513 -> pad 520, chunk 104 (1.3% waste).
+    The sequence itself is no longer padded (the last chunk's blocks overhang
+    and are masked in-kernel), but every chunk still *processes* l_chunk
+    positions, so the chunk size determines wasted scan work:
+    a naive 128-chunk at L=513 computes ceil(513/128)*128 = 640 positions
+    (25% waste, confirmed by device profiling); chunk 104 computes 520
+    (1.4%). Scans 8-aligned effective lengths and picks the chunk with the
+    least waste near the target.
     """
     if l <= target:
         c = _round_up(l, 8)
