@@ -67,27 +67,48 @@ def mixup_waveforms(
     labels: jax.Array,
     mixup_rate: float,
     beta: float = 10.0,
+    partner_wave: jax.Array | None = None,
+    partner_labels: jax.Array | None = None,
 ):
     """Batched waveform mixup (dataloader.py:126-131, 176-186).
 
-    Each sample is mixed, with probability `mixup_rate`, with a random other
-    sample in the batch: w = lam*w1 + (1-lam)*w2, lam ~ Beta(beta, beta),
-    then re-mean-centered; labels become lam*y1 + (1-lam)*y2.
+    Each sample is mixed, with probability `mixup_rate`, with a random
+    partner sample: w = lam*w1 + (1-lam)*w2, lam ~ Beta(beta, beta), then
+    re-mean-centered; labels become lam*y1 + (1-lam)*y2.
+
+    Semantics deviation from the reference (documented): the reference draws
+    the mixup partner uniformly from the WHOLE dataset on the host
+    (dataloader.py:110 `random.randint(0, len(self.data)-1)` + a second
+    decode). A whole-dataset draw would force a second host decode per
+    sample, so here the partner is drawn on-device from a partner *pool*:
+    by default the batch itself; when `partner_wave`/`partner_labels` are
+    given (the pipeline passes the previous batch, doubling the pool to
+    2B samples drawn by an independent sampler pass), partners come from
+    `concat(batch, partner_pool)`. At the AudioSet recipe's B=12 under the
+    balanced sampler, in-batch-only partners are few and correlated; the
+    previous-batch pool restores cross-draw diversity while staying jittable
+    with zero extra host decodes.
 
     wave: (B, S) mean-centered waveforms. labels: (B, C) multi-hot floats.
+    partner_wave/partner_labels: optional (P, S)/(P, C) extra partner pool.
     Returns (mixed_wave, mixed_labels).
     """
     b = wave.shape[0]
     k1, k2, k3 = jax.random.split(key, 3)
     lam = jax.random.beta(k1, beta, beta, (b,))
-    partner = jax.random.randint(k2, (b,), 0, b)
+    if partner_wave is not None:
+        pool_w = jnp.concatenate([wave, partner_wave], axis=0)
+        pool_y = jnp.concatenate([labels, partner_labels], axis=0)
+    else:
+        pool_w, pool_y = wave, labels
+    partner = jax.random.randint(k2, (b,), 0, pool_w.shape[0])
     do_mix = jax.random.uniform(k3, (b,)) < mixup_rate
 
     lam_eff = jnp.where(do_mix, lam, 1.0)
-    w2 = wave[partner]
+    w2 = pool_w[partner]
     mixed = lam_eff[:, None] * wave + (1.0 - lam_eff)[:, None] * w2
     mixed = mixed - jnp.mean(mixed, axis=1, keepdims=True)
-    y2 = labels[partner]
+    y2 = pool_y[partner]
     mixed_labels = lam_eff[:, None] * labels + (1.0 - lam_eff)[:, None] * y2
     return mixed, mixed_labels
 

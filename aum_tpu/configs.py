@@ -54,6 +54,12 @@ class ExperimentConfig:
     weight_decay: float = 5e-7
     bs_scale_factor: int = 1
     dtype: str = "bfloat16"
+    # NaN-loss coercion to 0 (traintest.py:154-155) and whether to keep
+    # training through a non-finite loss (traintest.py:157-165; the
+    # reference exits by default — continue_inf=False reproduces that,
+    # continue_inf=True skips the update and keeps going).
+    nan2num: bool = False
+    continue_inf: bool = False
     seed: int = SEEDS[0]
     depth: Optional[int] = None         # override model depth (testing/ablation)
     flexible_patch_sizes: Optional[Tuple[int, ...]] = None  # flexible training

@@ -329,6 +329,7 @@ def main(argv=None):
         rng=jax.random.PRNGKey(cfg.seed + 2),
         loss_type=cfg.loss, main_metric=cfg.metrics,
         augment=AugmentConfig(),  # augmentation handled on-device in pipeline
+        nan2num=cfg.nan2num, continue_inf=cfg.continue_inf,
         exp_dir=args.exp_dir, checkpointer=ckptr,
         flexible_patch_sizes=(list(cfg.flexible_patch_sizes)
                               if cfg.flexible_patch_sizes else None))

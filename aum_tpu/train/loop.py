@@ -145,6 +145,18 @@ def sigmoid_np(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _np_loss(loss_type: str, logits: np.ndarray, labels: np.ndarray) -> float:
+    """Host-side loss (numpy) — keeps eval free of device round-trips."""
+    x = logits.astype(np.float64)
+    y = labels.astype(np.float64)
+    if loss_type == "BCE":
+        return float(np.mean(
+            np.maximum(x, 0) - x * y + np.log1p(np.exp(-np.abs(x)))))
+    lse = np.log(np.sum(np.exp(x - x.max(axis=-1, keepdims=True)), axis=-1)) \
+        + x.max(axis=-1)
+    return float(np.mean(lse - np.sum(x * y, axis=-1)))
+
+
 def evaluate(
     eval_step,
     params,
@@ -161,15 +173,15 @@ def evaluate(
     from aum_tpu.data.pipeline import Prefetcher
 
     outs, tgts, losses = [], [], []
-    loss_of = loss_fn_of(loss_type)
     for batch in Prefetcher(iter(batches)):
         logits = eval_step(params, batch["x"])
         logits = np.asarray(logits, dtype=np.float32)
         scores = sigmoid_np(logits)
         outs.append(scores)
         tgts.append(np.asarray(batch["y"], dtype=np.float32))
-        losses.append(float(loss_of(jnp.asarray(scores),
-                                    jnp.asarray(tgts[-1]))))
+        # Reference quirk: the val loss is computed on the *sigmoided*
+        # outputs (traintest.py:280-283) — scores go in as the "logits".
+        losses.append(_np_loss(loss_type, scores, tgts[-1]))
     scores = np.concatenate(outs, axis=0)
     targets = np.concatenate(tgts, axis=0)
     stats = calculate_stats(scores, targets)
@@ -213,6 +225,7 @@ def train_loop(
     main_metric: str = "mAP",
     augment: AugmentConfig = AugmentConfig(),
     nan2num: bool = False,
+    continue_inf: bool = True,
     exp_dir: Optional[str] = None,
     checkpointer=None,
     log_every: int = 50,
@@ -225,6 +238,13 @@ def train_loop(
     Artifacts per epoch under exp_dir (traintest.py:211-242, 311-316):
     result.csv, progress.json, stats_<epoch>.pickle and (optionally)
     predictions/predictions_<epoch>.csv + target.csv.
+
+    Non-finite losses: the jitted step always skips the parameter update on
+    a non-finite loss (the safe in-graph equivalent of traintest.py:157-165).
+    With ``continue_inf=False`` (the reference's default: exit on inf) the
+    host additionally raises on a non-finite loss — checked at ``log_every``
+    granularity so the async dispatch pipeline is not forced to sync every
+    step; detection is therefore delayed by up to log_every steps.
     """
     import pickle
     import time as _time
@@ -261,6 +281,11 @@ def train_loop(
             n_clips += int(batch["x"].shape[0])
             if (i + 1) % log_every == 0:
                 losses.append(float(loss))
+                if not continue_inf and not np.isfinite(losses[-1]):
+                    raise RuntimeError(
+                        f"non-finite train loss {losses[-1]} at epoch "
+                        f"{epoch} step {i + 1} (continue_inf=False; "
+                        "traintest.py:157-165 exit-on-inf semantics)")
                 print_fn(f"epoch {epoch} step {i+1}: loss {losses[-1]:.4f}")
         train_secs = _time.time() - t_epoch
         metrics, scores, targets = evaluate(

@@ -57,11 +57,18 @@ def main():
 
         gk = jax.jit(jax.grad(loss, argnums=tuple(range(8))))(*args)
         gr = jax.jit(jax.grad(loss_ref, argnums=tuple(range(8))))(*args)
+        # Tolerance note (measured 2026-08): on these inputs the *oracle*
+        # computed on TPU deviates 4.3e-3 (max-rel-to-global-max) from the
+        # float64 CPU oracle, the kernel 4.2e-3 — TPU f32 exp/accumulation
+        # numerics dominate, and kernel-vs-oracle lands ~1.2e-3 inside that
+        # envelope. The tight (2e-4) correctness checks live in
+        # tests/test_selective_scan.py against the near-exact (1.6e-7 from
+        # f64) CPU oracle; this on-chip smoke asserts the TPU envelope.
         for name, a_, b_ in zip("u delta A B C D z db".split(), gk, gr):
             scale = float(jnp.max(jnp.abs(b_))) + 1e-30
             e = float(jnp.max(jnp.abs(a_ - b_))) / scale
             print(f"  grad {name}: rel err {e:.2e}")
-            assert e < 5e-4, f"grad mismatch for {name}"
+            assert e < 2.5e-3, f"grad mismatch for {name}"
 
     # quick timing (fwd only)
     fn = jax.jit(lambda *a: selective_scan(*a, delta_softplus=True))

@@ -172,3 +172,39 @@ def test_flexible_patch_size_training_runs():
         main_metric="acc", flexible_patch_sizes=[16, 8])
     assert len(history) == 1
     assert np.isfinite(history[0]["loss"])
+
+
+def test_nonfinite_loss_skip_and_continue_inf():
+    """A non-finite loss must (a) leave params untouched (in-step skip) and
+    (b) abort the loop when continue_inf=False (traintest.py:157-165)."""
+    import pytest
+    from aum_tpu.train.loop import train_loop
+
+    cfg = AudioMambaConfig(
+        depth=1, embed_dim=96, spectrogram_size=(128, 32), num_classes=3,
+        d_state=8)
+    model = AudioMamba(cfg, use_kernel=False)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    hp = TrainHyperParams(lr=1e-3, warmup=False, lrscheduler_start=100)
+    tx = make_optimizer(hp, steps_per_epoch=2)
+    x_bad = np.full((2, 32, 128), np.inf, np.float32)  # -> non-finite loss
+    y = np.eye(3, dtype=np.float32)[[0, 1]]
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(x_bad[:1]), mesh=mesh)
+    step = make_train_step(model, tx, mesh, loss_type="CE",
+                           augment=AugmentConfig(), donate=False)
+    p_before = jax.tree.map(np.asarray, state.params)
+    new_state, loss = step(
+        state, {"x": jnp.asarray(x_bad), "y": jnp.asarray(y)},
+        jax.random.PRNGKey(1))
+    assert not np.isfinite(float(loss))
+    jax.tree.map(np.testing.assert_array_equal, p_before,
+                 jax.tree.map(np.asarray, new_state.params))
+
+    def batches(epoch=0):
+        yield {"x": jnp.asarray(x_bad), "y": jnp.asarray(y)}
+
+    with pytest.raises(RuntimeError, match="non-finite"):
+        train_loop(model, tx, mesh, batches, batches, n_epochs=1,
+                   state=state, rng=jax.random.PRNGKey(1), loss_type="CE",
+                   main_metric="acc", continue_inf=False, log_every=1)
