@@ -72,6 +72,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_d_block(d: int, target: int) -> int:
+    """d-tile for the *local* channel extent.
+
+    Called inside the (possibly partitioned) op so the tile is picked from
+    the per-shard d — under GSPMD the kernel sees d/n_model channels.
+    """
+    d_block = _largest_divisor_leq(d, target, 128)
+    if d % 128 != 0:
+        d_block = _largest_divisor_leq(d, target, 8)
+    return d_block
+
+
 def _sigmoid(x):
     # Primitives-only stable sigmoid (jax.nn.sigmoid is custom_jvp-wrapped;
     # its closed_call jaxpr trips the MLIR lowering cache inside Pallas
@@ -187,6 +199,7 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
                 d_block, l_chunk, interpret, b_tile=None):
     bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
+    d_block = _pick_d_block(d, d_block)  # d_block arg is the *target*
     n_d = d // d_block
     n_l = -(-seq_len // l_chunk)  # cdiv; last chunk may overhang
     if b_tile is None:
@@ -374,6 +387,10 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
                 reverse, d_block, l_chunk, interpret, b_tile=None):
     bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
+    # d_block arg is the *target* (VMEM-budget-capped by the caller); pick
+    # the realized tile from the local (per-shard) channel extent.
+    bd = _largest_divisor_leq(d, d_block, 128)
+    d_block = d if d % 128 != 0 else bd
     n_d = d // d_block
     n_l = -(-seq_len // l_chunk)  # cdiv
     if b_tile is None:
@@ -452,6 +469,253 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
 
 
 # ---------------------------------------------------------------------------
+# Fused dual-direction backward kernel
+# ---------------------------------------------------------------------------
+#
+# The backward analogue of _fwd_kernel_dual (the BiMambaInnerFn.backward of
+# selective_scan_interface.py:519-603 runs ONE fused backward for both
+# scans): in one grid step, direction f runs its adjoint on its chunk
+# p = n_l-1-li while direction r runs its own on the same processing index
+# (logical chunk li), interleaving the two recompute chains and the two
+# adjoint chains in the serial loops so each hides the other's latency, and
+# halving the number of backward grid passes. Costs ~2x the scoped VMEM of
+# the single-direction backward, so it runs at a smaller d-tile (see
+# _dual_bwd_target).
+
+
+def _bwd_kernel_dual(
+    # inputs (f then r), grads, boundary states
+    uf_ref, df_ref, atf_ref, bf_ref, cf_ref, dskf_ref, biasf_ref, zf_ref,
+    ur_ref, dr_ref, atr_ref, br_ref, cr_ref, dskr_ref, biasr_ref, zr_ref,
+    gf_ref, gr_ref, xbf_ref, xbr_ref,
+    # outputs (f then r)
+    duf_ref, ddf_ref, dzf_ref, datf_ref, ddskf_ref, dbiasf_ref,
+    dbpf_ref, dcpf_ref,
+    dur_ref, ddr_ref, dzr_ref, datr_ref, ddskr_ref, dbiasr_ref,
+    dbpr_ref, dcpr_ref,
+    # scratch
+    lamf_state, lamr_state, af_scr, ar_scr, xf_scr, xr_scr,
+    lamf_scr, lamr_scr, tmpf_scr, tmpr_scr,
+    *, l_chunk: int, seq_len: int,
+):
+    bi = pl.program_id(1)
+    l = pl.program_id(2)
+    n_lp = pl.num_programs(2)
+
+    @pl.when(jnp.logical_and(bi == 0, l == 0))
+    def _():
+        for ref in (datf_ref, ddskf_ref, dbiasf_ref,
+                    datr_ref, ddskr_ref, dbiasr_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    @pl.when(l == 0)
+    def _():
+        lamf_state[...] = jnp.zeros_like(lamf_state)
+        lamr_state[...] = jnp.zeros_like(lamr_state)
+
+    # Direction f (forward scan) is revisited on logical chunk n_l-1-l,
+    # direction r (reverse scan) on logical chunk l — both are their own
+    # reverse *processing* order (see _bwd_pallas on the masking rationale).
+    mf = _pos_mask(n_lp - 1 - l, l_chunk, seq_len, uf_ref.shape)
+    mr = _pos_mask(l, l_chunk, seq_len, ur_ref.shape)
+
+    def load(m, u_ref, delta_ref, b_ref, c_ref, z_ref, g_ref, bias_ref,
+             d_ref):
+        u = _mask0(m, u_ref[...].astype(jnp.float32))
+        delta = delta_ref[...].astype(jnp.float32)
+        bm = _mask0(m, b_ref[...].astype(jnp.float32))
+        cm = _mask0(m, c_ref[...].astype(jnp.float32))
+        zf = _mask0(m, z_ref[...].astype(jnp.float32))
+        g = _mask0(m, g_ref[...].astype(jnp.float32))
+        bias = bias_ref[...].astype(jnp.float32)[None]
+        dsk = d_ref[...].astype(jnp.float32)[None]
+        sig = _mask0(m, _sigmoid(delta + bias))
+        dt = _mask0(m, _softplus(delta + bias))
+        return u, bm, cm, zf, g, dsk, sig, dt
+
+    uf, bmf, cmf, zff, gf, dskf, sigf, dtf = load(
+        mf, uf_ref, df_ref, bf_ref, cf_ref, zf_ref, gf_ref, biasf_ref,
+        dskf_ref)
+    ur, bmr, cmr, zfr, gr, dskr, sigr, dtr = load(
+        mr, ur_ref, dr_ref, br_ref, cr_ref, zr_ref, gr_ref, biasr_ref,
+        dskr_ref)
+    atf = atf_ref[...].astype(jnp.float32)
+    atr = atr_ref[...].astype(jnp.float32)
+
+    # --- Recompute in-chunk states from the saved boundary states. ----------
+    _LOG2E = 1.4426950408889634
+    af_scr[...] = jnp.exp2((dtf * _LOG2E)[:, :, None, :] * atf[None, None])
+    ar_scr[...] = jnp.exp2((dtr * _LOG2E)[:, :, None, :] * atr[None, None])
+    tmpf_scr[...] = (dtf * uf)[:, :, None, :] * bmf[:, :, :, None]
+    tmpr_scr[...] = (dtr * ur)[:, :, None, :] * bmr[:, :, :, None]
+
+    def fwd_body(i, carry):
+        xf, xr = carry
+        tr = l_chunk - 1 - i
+        xf = af_scr[:, i] * xf + tmpf_scr[:, i]
+        xr = ar_scr[:, tr] * xr + tmpr_scr[:, tr]
+        xf_scr[:, i] = xf
+        xr_scr[:, tr] = xr
+        return (xf, xr)
+
+    jax.lax.fori_loop(
+        0, l_chunk, fwd_body,
+        (xbf_ref[:, 0].astype(jnp.float32), xbr_ref[:, 0].astype(jnp.float32)),
+        unroll=l_chunk)
+
+    # --- Recompute outputs and gating grads (chunk-wide, per direction). ----
+    def gate_grads(m, x_scr, cm, dsk, u, zf, g, dz_ref, dd_ref):
+        y = jnp.sum(x_scr[...] * cm[:, :, :, None], axis=2)
+        ycore = y + dsk * u
+        sigz = _sigmoid(zf)
+        gy = _mask0(m, g * (zf * sigz))
+        dz = g * ycore * (sigz * (1.0 + zf * (1.0 - sigz)))
+        dz_ref[...] = dz.astype(dz_ref.dtype)
+        dd_ref[...] += jnp.sum(gy * u, axis=(0, 1), keepdims=True)[0]
+        return gy
+
+    gyf = gate_grads(mf, xf_scr, cmf, dskf, uf, zff, gf, dzf_ref, ddskf_ref)
+    gyr = gate_grads(mr, xr_scr, cmr, dskr, ur, zfr, gr, dzr_ref, ddskr_ref)
+
+    # --- Interleaved adjoint scans. ------------------------------------------
+    tmpf_scr[...] = cmf[:, :, :, None] * gyf[:, :, None, :]
+    tmpr_scr[...] = cmr[:, :, :, None] * gyr[:, :, None, :]
+
+    def bwd_body(i, carry):
+        pf, pr = carry
+        tf = l_chunk - 1 - i
+        lamf = tmpf_scr[:, tf] + pf
+        lamr = tmpr_scr[:, i] + pr
+        lamf_scr[:, tf] = lamf
+        lamr_scr[:, i] = lamr
+        return (af_scr[:, tf] * lamf, ar_scr[:, i] * lamr)
+
+    lamf_state[...], lamr_state[...] = jax.lax.fori_loop(
+        0, l_chunk, bwd_body, (lamf_state[...], lamr_state[...]),
+        unroll=l_chunk)
+
+    # --- Parameter/input grads (chunk-wide, per direction). -----------------
+    def param_grads(x_scr, lam_scr, a_scr, xb_ref, reverse, at, dt, sig, u,
+                    bm, gy, dsk, dat_ref, ddelta_ref, dbias_ref, du_ref,
+                    dbp_ref, dcp_ref):
+        xb0 = xb_ref[:, 0].astype(jnp.float32)[:, None]
+        if reverse:
+            xprev = jnp.concatenate([x_scr[:, 1:], xb0], axis=1)
+        else:
+            xprev = jnp.concatenate([xb0, x_scr[:, : l_chunk - 1]], axis=1)
+        lam = lam_scr[...]
+        dla = lam * a_scr[...] * xprev
+        dat_ref[...] += jnp.sum(dt[:, :, None, :] * dla, axis=(0, 1))
+        gdtu = jnp.sum(lam * bm[:, :, :, None], axis=2)
+        ddt = jnp.sum(dla * at[None, None], axis=2) + gdtu * u
+        ddelta = ddt * sig
+        ddelta_ref[...] = ddelta.astype(ddelta_ref.dtype)
+        dbias_ref[...] += jnp.sum(ddelta, axis=(0, 1), keepdims=True)[0]
+        du_ref[...] = (gy * dsk + gdtu * dt).astype(du_ref.dtype)
+        dbp_ref[...] = jnp.sum(lam * (dt * u)[:, :, None, :], axis=3)[None]
+        dcp_ref[...] = jnp.sum(x_scr[...] * gy[:, :, None, :], axis=3)[None]
+
+    param_grads(xf_scr, lamf_scr, af_scr, xbf_ref, False, atf, dtf, sigf,
+                uf, bmf, gyf, dskf, datf_ref, ddf_ref, dbiasf_ref, duf_ref,
+                dbpf_ref, dcpf_ref)
+    param_grads(xr_scr, lamr_scr, ar_scr, xbr_ref, True, atr, dtr, sigr,
+                ur, bmr, gyr, dskr, datr_ref, ddr_ref, dbiasr_ref, dur_ref,
+                dbpr_ref, dcpr_ref)
+
+
+def _bwd_pallas_dual(args_f, args_r, gf, gr, xbf, xbr, *,
+                     d_block, l_chunk, interpret, b_tile=None):
+    """Fused backward for both directions. args_f/args_r as in
+    _fwd_pallas_dual; returns the two directions' grad tuples
+    (du, ddelta, dz, dat, dd, dbias, dbp, dcp) each."""
+    u = args_f[0]
+    bsz, seq_len, d = u.shape
+    n_pad = args_f[2].shape[0]
+    bd = _largest_divisor_leq(d, d_block, 128)
+    d_block = d if d % 128 != 0 else bd
+    n_d = d // d_block
+    n_l = -(-seq_len // l_chunk)
+    if b_tile is None:
+        b_tile = 1
+    n_b = bsz // b_tile
+
+    # Both directions revisit their own processing order p = n_l-1-li;
+    # direction f's logical chunk is p, direction r's is n_l-1-p = li.
+    def spec_of(rev):
+        def cmap(li):
+            p = n_l - 1 - li
+            return (n_l - 1 - p) if rev else p
+
+        seq = pl.BlockSpec((b_tile, l_chunk, d_block),
+                           lambda di, bi, li: (bi, cmap(li), di),
+                           memory_space=pltpu.VMEM)
+        bc = pl.BlockSpec((b_tile, l_chunk, n_pad),
+                          lambda di, bi, li: (bi, cmap(li), 0),
+                          memory_space=pltpu.VMEM)
+        part = pl.BlockSpec((1, b_tile, l_chunk, n_pad),
+                            lambda di, bi, li: (di, bi, cmap(li), 0),
+                            memory_space=pltpu.VMEM)
+        return seq, bc, part
+
+    at_spec = pl.BlockSpec((n_pad, d_block), lambda di, bi, li: (0, di),
+                           memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, d_block), lambda di, bi, li: (0, di),
+                            memory_space=pltpu.VMEM)
+    xb_spec = pl.BlockSpec((b_tile, 1, n_pad, d_block),
+                           lambda di, bi, li: (bi, n_l - 1 - li, 0, di),
+                           memory_space=pltpu.VMEM)
+    seq_f, bc_f, part_f = spec_of(False)
+    seq_r, bc_r, part_r = spec_of(True)
+
+    kernel = functools.partial(_bwd_kernel_dual, l_chunk=l_chunk,
+                               seq_len=seq_len)
+
+    def outs_of(u_, delta_, z_):
+        return [
+            jax.ShapeDtypeStruct((bsz, seq_len, d), u_.dtype),
+            jax.ShapeDtypeStruct((bsz, seq_len, d), delta_.dtype),
+            jax.ShapeDtypeStruct((bsz, seq_len, d), z_.dtype),
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), jnp.float32),
+        ]
+
+    out_shapes = (outs_of(args_f[0], args_f[1], args_f[7])
+                  + outs_of(args_r[0], args_r[1], args_r[7]))
+    out_specs = ([seq_f, seq_f, seq_f, at_spec, vec_spec, vec_spec,
+                  part_f, part_f]
+                 + [seq_r, seq_r, seq_r, at_spec, vec_spec, vec_spec,
+                    part_r, part_r])
+
+    cost = pl.CostEstimate(
+        flops=60 * bsz * seq_len * d * n_pad,
+        bytes_accessed=16 * bsz * seq_len * d * 4,
+        transcendentals=4 * bsz * seq_len * d * n_pad,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_d, n_b, n_l),
+        in_specs=[seq_f, seq_f, at_spec, bc_f, bc_f, vec_spec, vec_spec,
+                  seq_f,
+                  seq_r, seq_r, at_spec, bc_r, bc_r, vec_spec, vec_spec,
+                  seq_r,
+                  seq_f, seq_r, xb_spec, xb_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
+            + [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32)] * 8
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args_f, *args_r, gf, gr, xbf, xbr)
+    return outs[:8], outs[8:]
+
+
+# ---------------------------------------------------------------------------
 # Padding / layout wrapper + custom VJP
 # ---------------------------------------------------------------------------
 
@@ -486,19 +750,23 @@ def _choose_l(l: int, target: int) -> tuple[int, int]:
 
 
 def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
-    """Pick tilings and pad only the (tiny) state dim.
+    """Pick the length chunking and pad only the (tiny) state dim.
 
     The sequence is NOT padded: the kernels' final chunk overhangs the array
     (Pallas masks overhang writes; overhang reads are neutralized in-kernel
     via the position mask). This removes five HBM-round-trip pad ops and an
     output slice per scan call.
+
+    The d-tile is NOT picked here: the ops carry GSPMD partitioning rules
+    (d over 'model'), so the realized d_block must come from the per-shard
+    channel extent — `_pick_d_block` inside the op. Only the *target* flows
+    through. l_chunk is global-consistent (l is never sharded) and must
+    match between the forward and backward, so it is picked here.
     """
     bsz, l, d = u.shape
     n = A.shape[1]
 
-    d_block = _largest_divisor_leq(d, d_block_target, 128)
-    if d % 128 != 0:
-        d_block = _largest_divisor_leq(d, d_block_target, 8)
+    d_block = d_block_target
 
     _, l_chunk = _choose_l(l, l_chunk_target)
     n_pad = max(8, _round_up(n, 8))
@@ -515,6 +783,193 @@ def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target):
     return u, delta, a_t, B, C, dsk, bias, z, d_block, l_chunk, l, n
 
 
+# ---------------------------------------------------------------------------
+# GSPMD partitioning rules (multi-chip kernel path)
+# ---------------------------------------------------------------------------
+#
+# The scan is embarrassingly parallel over batch and over channels (each
+# (b, d) pair is an independent recurrence; A/D/bias are per-channel, B/C are
+# per-(b, l)), so under a ('data','model') mesh the kernel runs on local
+# shards with ZERO communication — except the backward's dB/dC, which reduce
+# over channels and need one psum over the model axis. The rules below teach
+# GSPMD exactly that, so the *production* Pallas path (not just the jnp
+# oracle) shards like the reference's DDP'd CUDA op
+# (selective_scan_interface.py:77 under accelerate/NCCL).
+#
+# Mechanics: each pallas-invoking op is wrapped in
+# jax.experimental.custom_partitioning. The sharding policy is derived from
+# u's (batch, length, channel) sharding: batch axes pass through, length is
+# forced replicated (sequential scan), channel axes pass through to every
+# d-extent operand. The per-shard lowering is the op itself — d_block /
+# b_tile are re-picked from local shapes inside (_pick_d_block).
+
+_ARG_FACTORS = {
+    "seq": "b l d",      # (B, L, D) sequence tensors: u, delta, z, g, out
+    "bc": "b l n",       # (B, L, N_pad) B/C projections
+    "at": "n d",         # (N_pad, D) transposed A
+    "vec": "o d",        # (1, D) D-skip / delta bias
+    "xb": "b c n d",     # (B, n_chunks, N_pad, D) boundary states
+    "bc_sum": "b l n",   # output reduced over d  -> psum over model axes
+    "at_sum": "n d",     # output reduced over b,l -> psum over data axes
+    "vec_sum": "o d",    # output reduced over b,l -> psum over data axes
+}
+
+
+def _kind_spec(kind: str, b_ax, d_ax):
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        "seq": P(b_ax, None, d_ax),
+        "bc": P(b_ax, None, None),
+        "at": P(None, d_ax),
+        "vec": P(None, d_ax),
+        "xb": P(b_ax, None, None, d_ax),
+        "bc_sum": P(b_ax, None, None),
+        "at_sum": P(None, d_ax),
+        "vec_sum": P(None, d_ax),
+    }[kind]
+
+
+def _make_partitioned(fun, in_kinds, out_kinds):
+    """Wrap `fun` (a pallas-op closure) with a custom_partitioning rule."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    rule = (", ".join(_ARG_FACTORS[k] for k in in_kinds) + " -> "
+            + ", ".join(_ARG_FACTORS[k] for k in out_kinds))
+    single_out = len(out_kinds) == 1
+
+    def _axes(arg_shapes):
+        # Policy source: u (arg 0, kind "seq"). Length stays replicated.
+        spec = getattr(getattr(arg_shapes[0], "sharding", None), "spec", None)
+        b_ax = spec[0] if spec is not None and len(spec) > 0 else None
+        d_ax = spec[2] if spec is not None and len(spec) > 2 else None
+        return b_ax, d_ax
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, d_ax = _axes(arg_shapes)
+        outs = tuple(NamedSharding(mesh, _kind_spec(k, b_ax, d_ax))
+                     for k in out_kinds)
+        return outs[0] if single_out else outs
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, d_ax = _axes(arg_shapes)
+        arg_sh = tuple(NamedSharding(mesh, _kind_spec(k, b_ax, d_ax))
+                       for k in in_kinds)
+        res_sh = tuple(NamedSharding(mesh, _kind_spec(k, b_ax, d_ax))
+                       for k in out_kinds)
+        def flat(ax):
+            if ax is None:
+                return ()
+            return tuple(ax) if isinstance(ax, tuple) else (ax,)
+
+        # Cross-shard reductions: dB/dC reduce over channels (psum over the
+        # model axes); dA/dD/dbias reduce over batch (psum over data axes).
+        psum_of = {"bc_sum": flat(d_ax), "at_sum": flat(b_ax),
+                   "vec_sum": flat(b_ax)}
+
+        def lower_fn(*args):
+            outs = fun(*args)
+            if single_out:
+                outs = (outs,)
+            outs = tuple(
+                jax.lax.psum(o, psum_of[k]) if psum_of.get(k) else o
+                for o, k in zip(outs, out_kinds))
+            return outs[0] if single_out else outs
+
+        return mesh, lower_fn, (res_sh[0] if single_out else res_sh), arg_sh
+
+    p = custom_partitioning(fun)
+    p.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                    sharding_rule=rule)
+    return p
+
+
+def _partition_enabled() -> bool:
+    return _os.environ.get("AUM_SCAN_PARTITION", "1") != "0"
+
+
+_FWD_KINDS = ["seq", "seq", "at", "bc", "bc", "vec", "vec", "seq"]
+
+
+@functools.lru_cache(maxsize=None)
+def _get_fwd_op(reverse: bool, save_states: bool, d_block_target: int,
+                l_chunk: int, interpret: bool, b_tile):
+    def fun(u, delta, a_t, bm, cm, dsk, bias, z):
+        out, xb = _fwd_pallas(
+            u, delta, a_t, bm, cm, dsk, bias, z, reverse=reverse,
+            save_states=save_states, d_block=d_block_target, l_chunk=l_chunk,
+            interpret=interpret, b_tile=b_tile)
+        return (out, xb) if save_states else out
+
+    if not _partition_enabled():
+        return fun
+    return _make_partitioned(
+        fun, _FWD_KINDS, ["seq", "xb"] if save_states else ["seq"])
+
+
+@functools.lru_cache(maxsize=None)
+def _get_bwd_op(reverse: bool, bwd_target: int, l_chunk: int,
+                interpret: bool):
+    def fun(u, delta, a_t, bm, cm, dsk, bias, z, g, xb):
+        du, ddelta, dz, dat, dd, dbias, dbp, dcp = _bwd_pallas(
+            u, delta, a_t, bm, cm, dsk, bias, z, g, xb, reverse=reverse,
+            d_block=bwd_target, l_chunk=l_chunk, interpret=interpret)
+        # Reduce the per-d-tile dB/dC partials here so the op's outputs are
+        # global shapes (the remaining cross-shard d-reduction is the psum
+        # in the partitioning rule).
+        return (du, ddelta, dz, dat, dd, dbias,
+                jnp.sum(dbp, axis=0), jnp.sum(dcp, axis=0))
+
+    if not _partition_enabled():
+        return fun
+    return _make_partitioned(
+        fun, _FWD_KINDS + ["seq", "xb"],
+        ["seq", "seq", "seq", "at_sum", "vec_sum", "vec_sum",
+         "bc_sum", "bc_sum"])
+
+
+@functools.lru_cache(maxsize=None)
+def _get_dual_bwd_op(bwd_target: int, l_chunk: int, interpret: bool):
+    def fun(*args):  # 8 f-args, 8 r-args, gf, gr, xbf, xbr
+        args_f, args_r = args[:8], args[8:16]
+        gf, gr, xbf, xbr = args[16:]
+        of, o_r = _bwd_pallas_dual(
+            args_f, args_r, gf, gr, xbf, xbr, d_block=bwd_target,
+            l_chunk=l_chunk, interpret=interpret)
+
+        def reduce_parts(o8):
+            du, ddelta, dz, dat, dd, dbias, dbp, dcp = o8
+            return (du, ddelta, dz, dat, dd, dbias,
+                    jnp.sum(dbp, axis=0), jnp.sum(dcp, axis=0))
+
+        return reduce_parts(of) + reduce_parts(o_r)
+
+    if not _partition_enabled():
+        return fun
+    out_kinds = ["seq", "seq", "seq", "at_sum", "vec_sum", "vec_sum",
+                 "bc_sum", "bc_sum"] * 2
+    return _make_partitioned(
+        fun, _FWD_KINDS * 2 + ["seq", "seq", "xb", "xb"], out_kinds)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_dual_fwd_op(save_states: bool, d_block_target: int, l_chunk: int,
+                     interpret: bool):
+    def fun(*args16):
+        outs = _fwd_pallas_dual(
+            args16[:8], args16[8:], save_states=save_states,
+            d_block=d_block_target, l_chunk=l_chunk, interpret=interpret)
+        outf, outr, xbf, xbr = outs
+        return (outf, outr, xbf, xbr) if save_states else (outf, outr)
+
+    if not _partition_enabled():
+        return fun
+    return _make_partitioned(
+        fun, _FWD_KINDS * 2,
+        ["seq", "seq", "xb", "xb"] if save_states else ["seq", "seq"])
+
+
 @functools.cache
 def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
                interpret: bool, b_tile):
@@ -522,52 +977,45 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
 
     @jax.custom_vjp
     def scan(u, delta, A, B, C, D, z, delta_bias):
-        up, dp, a_t, bp, cp, dsk, bias, zp, d_block, l_chunk, l, _ = _prep(
+        up, dp, a_t, bp, cp, dsk, bias, zp, dbt, l_chunk, l, _ = _prep(
             u, delta, A, B, C, D, z, delta_bias,
             d_block_target, l_chunk_target)
-        out, _ = _fwd_pallas(
-            up, dp, a_t, bp, cp, dsk, bias, zp, reverse=reverse,
-            save_states=False, d_block=d_block, l_chunk=l_chunk,
-            interpret=interpret, b_tile=b_tile)
-        return out
+        op = _get_fwd_op(reverse, False, dbt, l_chunk, interpret, b_tile)
+        return op(up, dp, a_t, bp, cp, dsk, bias, zp)
 
     def scan_fwd(u, delta, A, B, C, D, z, delta_bias):
-        up, dp, a_t, bp, cp, dsk, bias, zp, d_block, l_chunk, l, _ = _prep(
+        up, dp, a_t, bp, cp, dsk, bias, zp, dbt, l_chunk, l, _ = _prep(
             u, delta, A, B, C, D, z, delta_bias,
             d_block_target, l_chunk_target)
-        out, xb = _fwd_pallas(
-            up, dp, a_t, bp, cp, dsk, bias, zp, reverse=reverse,
-            save_states=True, d_block=d_block, l_chunk=l_chunk,
-            interpret=interpret, b_tile=b_tile)
-        res = (up, dp, a_t, bp, cp, dsk, bias, zp, xb, d_block, l_chunk, l,
+        op = _get_fwd_op(reverse, True, dbt, l_chunk, interpret, b_tile)
+        out, xb = op(up, dp, a_t, bp, cp, dsk, bias, zp)
+        res = (up, dp, a_t, bp, cp, dsk, bias, zp, xb, dbt, l_chunk, l,
                A.shape[1], delta_bias is not None)
         return out, res
 
     def scan_bwd(res, gout):
-        (up, dp, a_t, bp, cp, dsk, bias, zp, xb, d_block, l_chunk, l, n,
+        (up, dp, a_t, bp, cp, dsk, bias, zp, xb, dbt, l_chunk, l, n,
          has_bias) = res
         # The backward holds 4 (l_chunk, N, d_b) fp32 scratch buffers PLUS
         # roughly as much again in Mosaic stack temporaries (xprev concat,
         # lam*a products, masked loads): measured scoped-vmem is ~8.4 buffer
         # equivalents of l_chunk*n_pad*d_block*4 bytes (17.61M at d_block=256,
         # l_chunk=128, N=16 — over the 16M limit). Pick the largest d-tile
-        # whose calibrated estimate stays under 15.5M. The forward's saved
-        # boundary states are tiled over d by the BlockSpec, so the backward
-        # d-tile is independent of the forward's (only l_chunk must match).
-        d = up.shape[2]
+        # target whose calibrated estimate stays under 15.5M; the realized
+        # tile comes from the local shard shape inside _bwd_pallas. The
+        # forward's saved boundary states are tiled over d by the BlockSpec,
+        # so the backward d-tile is independent of the forward's (only
+        # l_chunk must match).
         n_pad = a_t.shape[0]
         budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
-                              min(d_block, max(128, (budget // 128) * 128)))
-        bwd_block = _largest_divisor_leq(d, bwd_target, 128)
-        if d % 128 != 0:
-            bwd_block = d
-        du, ddelta, dz, dat, dd, dbias, dbp, dcp = _bwd_pallas(
-            up, dp, a_t, bp, cp, dsk, bias, zp, gout, xb, reverse=reverse,
-            d_block=bwd_block, l_chunk=l_chunk, interpret=interpret)
+                              min(dbt, max(128, (budget // 128) * 128)))
+        op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret)
+        du, ddelta, dz, dat, dd, dbias, dbsum, dcsum = op(
+            up, dp, a_t, bp, cp, dsk, bias, zp, gout, xb)
         dA = jnp.swapaxes(dat, 0, 1)[:, :n]
-        dB = jnp.sum(dbp, axis=0)[..., :n].astype(bp.dtype)
-        dC = jnp.sum(dcp, axis=0)[..., :n].astype(cp.dtype)
+        dB = dbsum[..., :n].astype(bp.dtype)
+        dC = dcsum[..., :n].astype(cp.dtype)
         ddb = dbias[0] if has_bias else None
         return (du, ddelta, dA, dB, dC, dd[0], dz, ddb)
 
@@ -718,6 +1166,7 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
     u = args_f[0]
     bsz, seq_len, d = u.shape
     n_pad = args_f[2].shape[0]
+    d_block = _pick_d_block(d, d_block)  # d_block arg is the *target*
     n_d = d // d_block
     n_l = -(-seq_len // l_chunk)  # cdiv; last chunk may overhang
     if b_tile is None:
@@ -820,13 +1269,11 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         pf, pr = prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
                            ur, dr, ar, br, cr, dskr, zr, biasr)
         (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
-         d_block, l_chunk, l, _) = pf
+         dbt, l_chunk, l, _) = pf
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr, *_rest) = pr
-        outf, outr, _, _ = _fwd_pallas_dual(
-            (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf),
-            (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr),
-            save_states=False, d_block=d_block, l_chunk=l_chunk,
-            interpret=interpret)
+        op = _get_dual_fwd_op(False, dbt, l_chunk, interpret)
+        outf, outr = op(upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
+                        upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr)
         return outf, outr
 
     def dual_fwd(uf, df, af, bf, cf, dskf, zf, biasf,
@@ -834,43 +1281,56 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         pf, pr = prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
                            ur, dr, ar, br, cr, dskr, zr, biasr)
         (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
-         d_block, l_chunk, l, nf) = pf
+         dbt, l_chunk, l, nf) = pf
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr,
          _db2, _lc2, _l2, nr) = pr
-        outf, outr, xbf, xbr = _fwd_pallas_dual(
-            (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf),
-            (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr),
-            save_states=True, d_block=d_block, l_chunk=l_chunk,
-            interpret=interpret)
-        res = (pf[:8], pr[:8], xbf, xbr, d_block, l_chunk, l, nf, nr)
+        op = _get_dual_fwd_op(True, dbt, l_chunk, interpret)
+        outf, outr, xbf, xbr = op(
+            upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
+            upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr)
+        res = (pf[:8], pr[:8], xbf, xbr, dbt, l_chunk, l, nf, nr)
         return (outf, outr), res
 
     def dual_bwd(res, gout):
-        argsf, argsr, xbf, xbr, d_block, l_chunk, l, nf, nr = res
+        argsf, argsr, xbf, xbr, dbt, l_chunk, l, nf, nr = res
         gf, gr = gout
-        d = argsf[0].shape[2]
         n_pad = argsf[2].shape[0]
-        # Same calibrated scoped-vmem model as the single-direction scan_bwd.
+
+        def finish(o8, args, n):
+            du, dd, dz, dat, ddsk, dbias, dbsum, dcsum = o8
+            dA = jnp.swapaxes(dat, 0, 1)[:, :n]
+            dB = dbsum[..., :n].astype(args[3].dtype)
+            dC = dcsum[..., :n].astype(args[4].dtype)
+            return (du, dd, dA, dB, dC, ddsk[0], dz, dbias[0])
+
+        if _env_int("AUM_SCAN_DUAL_BWD", 0):
+            # One fused backward kernel interleaving both adjoint chains
+            # (BiMambaInnerFn.backward, selective_scan_interface.py:519-603).
+            # ~2x the scoped VMEM of a single-direction pass -> smaller
+            # calibrated d-tile target. MEASURED SLOWER than the two-pass
+            # backward on v5e (B=12 base train step: 235.6 ms fused vs
+            # 208.4 ms two-pass; the halved d-tile (128 vs 256) costs more
+            # than the interleaved chains save), so OFF by default —
+            # AUM_SCAN_DUAL_BWD=1 opts in.
+            budget = int(15.5 * 2**20 / (16.8 * l_chunk * n_pad * 4))
+            bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
+                                  min(dbt, max(128, (budget // 128) * 128)))
+            op = _get_dual_bwd_op(bwd_target, l_chunk, interpret)
+            outs = op(*argsf, *argsr, gf, gr, xbf, xbr)
+            return finish(outs[:8], argsf, nf) + finish(outs[8:], argsr, nr)
+
+        # Two sequential single-direction passes (AUM_SCAN_DUAL_BWD=0).
         budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
-                              min(d_block, max(128, (budget // 128) * 128)))
-        bwd_block = _largest_divisor_leq(d, bwd_target, 128)
-        if d % 128 != 0:
-            bwd_block = d
+                              min(dbt, max(128, (budget // 128) * 128)))
 
         def one(args, xb, g, reverse, n):
             up, dp, a_t, bp, cp, dsk, bias, zp = args
-            du, dd, dz, dat, ddsk, dbias, dbp, dcp = _bwd_pallas(
-                up, dp, a_t, bp, cp, dsk, bias, zp, g, xb, reverse=reverse,
-                d_block=bwd_block, l_chunk=l_chunk, interpret=interpret)
-            dA = jnp.swapaxes(dat, 0, 1)[:, :n]
-            dB = jnp.sum(dbp, axis=0)[..., :n].astype(bp.dtype)
-            dC = jnp.sum(dcp, axis=0)[..., :n].astype(cp.dtype)
-            return (du, dd, dA, dB, dC, ddsk[0], dz, dbias[0])
+            op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret)
+            return finish(op(up, dp, a_t, bp, cp, dsk, bias, zp, g, xb),
+                          args, n)
 
-        gradsf = one(argsf, xbf, gf, False, nf)
-        gradsr = one(argsr, xbr, gr, True, nr)
-        return gradsf + gradsr
+        return one(argsf, xbf, gf, False, nf) + one(argsr, xbr, gr, True, nr)
 
     dual.defvjp(dual_fwd, dual_bwd)
     return dual

@@ -129,3 +129,29 @@ def test_dual_scan_grads_shared_inputs():
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=3e-4, atol=3e-4,
                                    err_msg=f"grad {name}")
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_fused_dual_backward_matches_two_pass(shared, monkeypatch):
+    """The fused dual-direction backward kernel (AUM_SCAN_DUAL_BWD=1;
+    default-off after v5e measurement showed the two-pass form faster) must
+    produce identical grads to the two-pass backward."""
+    from aum_tpu.ops.selective_scan import selective_scan_dual
+
+    args_f = _make_inputs(jax.random.PRNGKey(8), bsz=2, l=37, d=24, n=8)
+    args_r = args_f if shared else _make_inputs(
+        jax.random.PRNGKey(9), bsz=2, l=37, d=24, n=8)
+
+    def loss(*flat):
+        yf, yr = selective_scan_dual(flat[:8], flat[8:], d_block=8,
+                                     l_chunk=16)
+        return jnp.sum(jnp.sin(yf + 2 * yr))
+
+    gfn = jax.grad(loss, argnums=tuple(range(16)))
+    monkeypatch.setenv("AUM_SCAN_DUAL_BWD", "0")
+    ref = [np.asarray(g) for g in gfn(*args_f, *args_r)]
+    monkeypatch.setenv("AUM_SCAN_DUAL_BWD", "1")
+    got = [np.asarray(g) for g in gfn(*args_f, *args_r)]
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"grad #{i}")
