@@ -70,11 +70,31 @@ class AudioMambaConfig:
     if_devide_out: bool = True
     if_bidirectional: bool = False
     transpose_token_sequence: bool = False
-    # Rematerialize each block in the backward pass (jax.checkpoint): the
+    # Rematerialize activations in the backward pass (jax.checkpoint): the
     # fused-scan residuals are O(L*d_inner) per direction per layer, so
     # without remat a 24-layer training step would hold ~GBs of residuals
     # (the torch reference frees them layer-by-layer; XLA needs the policy).
     remat: bool = True
+    # Remat granularity:
+    #   "split" — checkpoint only the pre-scan compute (norm stays exposed;
+    #       in/x/dt projections + conv recomputed in the backward) and leave
+    #       the scan OUT of the remat region so its custom_vjp residuals are
+    #       kept and the backward never re-runs the scan forward kernel —
+    #       the reference's checkpoint_lvl=1 (selective_scan_interface.py:
+    #       218-219). Costs the scan residuals in HBM: ~6 * B*L*d_inner *
+    #       itemsize per layer (u/delta/z/y in model dtype + fp32 B/C/
+    #       boundary states) ≈ 260MB/layer at B=32/L=513/base/bf16 — fits
+    #       v5e HBM to B~32; prefer "block" beyond that.
+    #   "block" — nn.remat around the whole block (round-1 behavior): holds
+    #       only (hidden, residual) per layer but re-runs the scan forward
+    #       inside the backward (~10% of train-step time).
+    #   "auto" — "split" when the Pallas kernel path is active AND the
+    #       calibrated HBM estimate fits (measured on v5e: the split-remat
+    #       program needs ~27 bytes per depth*B*L*d_inner element at bf16 —
+    #       B=32/base hit 16.14G vs 15.75G HBM, 407M over; B<=16 fits with
+    #       headroom), else "block". Budget override: AUM_SPLIT_REMAT_BUDGET
+    #       (bytes).
+    remat_mode: str = "auto"
     if_rope: bool = False
     if_rope_residual: bool = False
     dtype: str = "float32"
@@ -203,8 +223,6 @@ class AudioMamba(nn.Module):
         if cfg.if_abs_pos_embed:
             if dyn_position is not None:
                 # dynamic-position variant of the prefix pos-embed add
-                pos = self.param if False else None
-                del pos
                 pe = PosEmbed(
                     pos_grid_size=cfg.patch_grid, embed_dim=cfg.embed_dim,
                     n_prefix_tokens=cfg.num_prefix_tokens, name="pos_embed")
@@ -247,12 +265,36 @@ class AudioMamba(nn.Module):
             # remove prefix tokens, transpose the (F', T') grid, re-insert.
             x = _transpose_tokens(x, grid, token_position)
 
+        # Effective remat granularity (see AudioMambaConfig.remat_mode).
+        if not cfg.remat:
+            remat_mode = "none"
+        elif cfg.remat_mode == "auto":
+            remat_mode = "block"
+            if self.use_kernel is not False:
+                import os as _os
+
+                # Calibrated whole-program estimate for split remat
+                # (v5e measurement: 16.14G at depth 24, B=32, L=513,
+                # d_inner=1536, bf16 -> 27.1 B per element-layer at
+                # itemsize 2; scales ~linearly in each factor).
+                per_unit = 27.0 * (jnp.dtype(dtype).itemsize / 2.0)
+                # x here is the token sequence (B, L, D), cls included.
+                est = (cfg.depth * x.shape[0] * x.shape[1]
+                       * 2 * cfg.embed_dim * per_unit)
+                budget = float(_os.environ.get(
+                    "AUM_SPLIT_REMAT_BUDGET", 11e9))
+                if est <= budget:
+                    remat_mode = "split"
+        else:
+            remat_mode = cfg.remat_mode
+
         block_kwargs = dict(
             d_model=cfg.embed_dim, norm_epsilon=cfg.norm_epsilon,
             rms_norm=cfg.rms_norm, residual_in_fp32=cfg.residual_in_fp32,
             bimamba_type=cfg.bimamba_type, if_devide_out=cfg.if_devide_out,
             d_state=cfg.d_state, n_layer=cfg.depth, dtype=dtype,
-            use_kernel=self.use_kernel, model_axis=self.model_axis)
+            use_kernel=self.use_kernel, model_axis=self.model_axis,
+            split_remat=remat_mode == "split")
 
         rope_bufs = None
         if cfg.if_rope:
@@ -269,7 +311,7 @@ class AudioMamba(nn.Module):
             x.shape, jnp.float32 if cfg.residual_in_fp32 else dtype)
         cell_cls = _BlockCell
         pair_cls = _BlockPair
-        if cfg.remat:
+        if remat_mode == "block":
             cell_cls = nn.remat(_BlockCell, prevent_cse=False)
             pair_cls = nn.remat(_BlockPair, prevent_cse=False)
         if not cfg.if_bidirectional:

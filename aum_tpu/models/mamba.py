@@ -106,6 +106,17 @@ class MambaMixer(nn.Module):
     # Tensor-parallel axis name (set when running under shard_map with
     # d_inner sharded; inserts the two psums the TP layout needs).
     model_axis: Optional[str] = None
+    # Split-remat: jax.checkpoint the pre-scan compute (in/x/dt projections
+    # + conv) so its intermediates are recomputed in the backward, while the
+    # scan itself stays OUT of any remat region — its custom_vjp residuals
+    # (inputs + chunk-boundary states) are then saved once and the backward
+    # never re-runs the scan forward kernel. This is the TPU analogue of the
+    # reference's checkpoint_lvl=1 (selective_scan_interface.py:218-219: the
+    # CUDA backward also recomputes only conv/projections, never the scan).
+    # Enabled by AudioMamba when remat is on and the kernel path is active;
+    # mutually exclusive with block-level nn.remat (which would re-run the
+    # scan forward during the backward — measured ~10% of train-step time).
+    split_remat: bool = False
 
     @property
     def d_inner(self) -> int:
@@ -152,16 +163,6 @@ class MambaMixer(nn.Module):
         cm = x_dbl[..., self.rank + self.d_state:]
         return xc, dt_in, bm, cm
 
-    def _scan(self, acts, z, params, reverse: bool, a_log_override=None):
-        xc, dt_in, bm, cm = acts
-        _, _, _, _, dt_b, a_log, dsk = params
-        a_log_use = a_log if a_log_override is None else a_log_override
-        a = -jnp.exp(a_log_use.astype(jnp.float32))
-        return selective_scan(
-            xc, dt_in, a, bm, cm, dsk.astype(jnp.float32), z=z,
-            delta_bias=dt_b.astype(jnp.float32), delta_softplus=True,
-            reverse=reverse, use_kernel=self.use_kernel)
-
     def _scan_args(self, acts, z, params, a_log_override=None):
         xc, dt_in, bm, cm = acts
         _, _, _, _, dt_b, a_log, dsk = params
@@ -187,20 +188,16 @@ class MambaMixer(nn.Module):
             "out_proj_weight",
             scaled_uniform_fan_in(d_in, 1.0 / math.sqrt(self.n_layer)),
             (d_in, self.d_model))
-
-        x = x.astype(self.dtype)
-        xs = x @ in_proj_x.astype(self.dtype)
-        z = x @ in_proj_z.astype(self.dtype)
+        in_bias = None
         if self.proj_bias:
-            xs = xs + self.param("in_proj_x_bias", nn.initializers.zeros,
-                                 (d_in,)).astype(self.dtype)
-            z = z + self.param("in_proj_z_bias", nn.initializers.zeros,
-                               (d_in,)).astype(self.dtype)
+            in_bias = (self.param("in_proj_x_bias", nn.initializers.zeros,
+                                  (d_in,)),
+                       self.param("in_proj_z_bias", nn.initializers.zeros,
+                                  (d_in,)))
 
         fwd_params = self._branch_params("")
-        acts = self._branch_activations(xs, fwd_params, reverse_conv=False)
-        use_dual = self.use_kernel is not False  # fused bidirectional kernel
-
+        a_b_log = None
+        bwd_params = None
         if self.bimamba_type == "v1":
             # v1 reuses the SAME forward conv/projection activations and
             # only runs the scan in reverse with its own A_b
@@ -208,36 +205,58 @@ class MambaMixer(nn.Module):
             # 673-709: y_b = scan(x.flip, delta.flip, A_b, B.flip, C.flip)).
             a_b_log = self.param("A_b_log", a_log_init(self.d_state),
                                  (d_in, self.d_state))
-            if use_dual:
-                y_f, y_b = selective_scan_dual(
-                    self._scan_args(acts, z, fwd_params),
-                    self._scan_args(acts, z, fwd_params,
-                                    a_log_override=a_b_log))
-            else:
-                y_f = self._scan(acts, z, fwd_params, reverse=False)
-                y_b = self._scan(acts, z, fwd_params, reverse=True,
-                                 a_log_override=a_b_log)
-            y = y_f + y_b
         elif self.bimamba_type == "v2":
             # v2 runs a fully separate branch on the flipped sequence
             # (mamba_simple.py:229-241): anti-causal conv + reverse scan.
             bwd_params = self._branch_params("_b")
-            acts_b = self._branch_activations(
-                xs, bwd_params, reverse_conv=True)
-            if use_dual:
-                y_f, y_b = selective_scan_dual(
-                    self._scan_args(acts, z, fwd_params),
-                    self._scan_args(acts_b, z, bwd_params))
-            else:
-                y_f = self._scan(acts, z, fwd_params, reverse=False)
-                y_b = self._scan(acts_b, z, bwd_params, reverse=True)
-            y = y_f + y_b
-            if self.if_devide_out:
-                y = y / 2
-        elif self.bimamba_type == "none":
-            y = self._scan(acts, z, fwd_params, reverse=False)
-        else:
+        elif self.bimamba_type != "none":
             raise ValueError(f"unknown bimamba_type: {self.bimamba_type}")
+
+        use_dual = self.use_kernel is not False  # fused bidirectional kernel
+        x = x.astype(self.dtype)
+
+        def pre_fn(x, in_x_w, in_z_w, in_b, fwd_p, a_b, bwd_p):
+            """Pre-scan compute: in-projections, conv, x/dt projections —
+            pure in its params so it can sit inside a jax.checkpoint."""
+            xs = x @ in_x_w.astype(self.dtype)
+            z = x @ in_z_w.astype(self.dtype)
+            if in_b is not None:
+                xs = xs + in_b[0].astype(self.dtype)
+                z = z + in_b[1].astype(self.dtype)
+            acts = self._branch_activations(xs, fwd_p, reverse_conv=False)
+            if self.bimamba_type == "v1":
+                return (self._scan_args(acts, z, fwd_p),
+                        self._scan_args(acts, z, fwd_p, a_log_override=a_b))
+            if self.bimamba_type == "v2":
+                acts_b = self._branch_activations(xs, bwd_p,
+                                                  reverse_conv=True)
+                return (self._scan_args(acts, z, fwd_p),
+                        self._scan_args(acts_b, z, bwd_p))
+            return (self._scan_args(acts, z, fwd_p), None)
+
+        pre = (jax.checkpoint(pre_fn, prevent_cse=False) if self.split_remat
+               else pre_fn)
+        args_f, args_r = pre(x, in_proj_x, in_proj_z, in_bias, fwd_params,
+                             a_b_log, bwd_params)
+
+        def scan_one(args, reverse):
+            u, delta, a, bm, cm, dsk, z, dt_b = args
+            return selective_scan(
+                u, delta, a, bm, cm, dsk, z=z, delta_bias=dt_b,
+                delta_softplus=True, reverse=reverse,
+                use_kernel=self.use_kernel)
+
+        if self.bimamba_type == "none":
+            y = scan_one(args_f, reverse=False)
+        else:
+            if use_dual:
+                y_f, y_b = selective_scan_dual(args_f, args_r)
+            else:
+                y_f = scan_one(args_f, reverse=False)
+                y_b = scan_one(args_r, reverse=True)
+            y = y_f + y_b
+            if self.bimamba_type == "v2" and self.if_devide_out:
+                y = y / 2
 
         out = y.astype(self.dtype) @ out_proj.astype(self.dtype)
         if self.init_layer_scale is not None:
@@ -274,6 +293,7 @@ class MambaBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Optional[bool] = None
     model_axis: Optional[str] = None
+    split_remat: bool = False
 
     @nn.compact
     def __call__(self, hidden, residual=None):
@@ -292,5 +312,5 @@ class MambaBlock(nn.Module):
             bimamba_type=self.bimamba_type, if_devide_out=self.if_devide_out,
             n_layer=self.n_layer, dtype=self.dtype,
             use_kernel=self.use_kernel, model_axis=self.model_axis,
-            name="mixer")(normed)
+            split_remat=self.split_remat, name="mixer")(normed)
         return hidden, residual

@@ -7,7 +7,8 @@ inside one jit with a data dependence, difference of two chain lengths,
 min-of-two runs with fresh inputs, and a host transfer to force completion
 (block_until_ready does not reliably await through the relay).
 
-Usage:  python scripts/bench_train_step.py [batch]
+Usage:  python scripts/bench_train_step.py [batch] [remat_mode]
+        remat_mode: auto (default) | split | block | none
 """
 
 import sys
@@ -27,9 +28,11 @@ from aum_tpu.train.optim import TrainHyperParams, make_optimizer
 
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    remat_mode = sys.argv[2] if len(sys.argv) > 2 else "auto"
 
     cfg = AudioMambaConfig.from_variant(
-        "base", "Fo-Bi", num_classes=527, spectrogram_size=(128, 1024))
+        "base", "Fo-Bi", num_classes=527, spectrogram_size=(128, 1024),
+        remat=remat_mode != "none", remat_mode=remat_mode)
     model = AudioMamba(cfg)
     mesh = make_mesh(1, 1)
     hp = TrainHyperParams(lr=5e-5, weight_decay=5e-7)
@@ -68,7 +71,7 @@ def main() -> None:
         times[n] = best
 
     per = (times[6] - times[2]) / 4
-    print(f"train step B={batch}: {per * 1e3:.1f} ms "
+    print(f"train step B={batch} remat={remat_mode}: {per * 1e3:.1f} ms "
           f"-> {batch / per:.1f} clips/s  (raw {times})")
 
 

@@ -136,6 +136,30 @@ def test_kernel_and_oracle_paths_agree():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("bimamba", ["v1", "v2"])
+def test_split_remat_matches_block_remat_grads(bimamba):
+    """remat_mode='split' (scan un-rematted, pre-scan checkpointed) must be
+    a pure scheduling change: outputs and grads identical to 'block'."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 128))
+    outs, grads = [], []
+    for mode in ("block", "split"):
+        cfg = AudioMambaConfig(
+            depth=2, embed_dim=128, spectrogram_size=(128, 64),
+            num_classes=5, d_state=8, bimamba_type=bimamba, remat_mode=mode)
+        model = AudioMamba(cfg, use_kernel=True)
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.mean(model.apply(p, x) ** 2)
+
+        outs.append(np.asarray(model.apply(params, x)))
+        grads.append(jax.tree.map(np.asarray, jax.grad(loss)(params)))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-6, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6),
+        grads[1], grads[0])
+
+
 def test_flexible_patch_size_runtime():
     """FlexiPatchEmbed/FlexiPosEmbed runtime retargeting: running with a
     different patch size changes the token grid but stays finite and
