@@ -18,9 +18,19 @@ Semantics preserved:
 - failed decode -> retry with a random replacement index (dataloader.py:
   163-174).
 
-torchaudio/soundfile are not available in this environment, so WAV decoding
-is stdlib `wave` + numpy (PCM 8/16/24/32-bit and float32). Other formats
-(flac etc.) can be routed through an optional decoder hook.
+Decode coverage (the reference decodes via `torchaudio.load`,
+dataloader.py:98, i.e. ffmpeg-backed): WAV decodes through stdlib `wave` +
+numpy (PCM 8/16/24/32-bit and float32) or the native batch decoder
+(csrc/wavloader.cpp); every other format (flac / m4a / mp3 / ogg — what
+real AudioSet/VGGSound archives actually contain) routes through the
+ffmpeg-backed native decoder (csrc/audiodecode.cpp) by default. A custom
+`decoder` hook still overrides everything.
+
+Semantics note for non-WAV clips *longer* than target_samples: the default
+path decodes (and mean-subtracts over) only the first target_samples rather
+than the full clip — the crop in `waveform` discards the rest anyway; only
+the subtracted mean differs, negligibly, from the reference's full-clip
+mean.
 """
 
 from __future__ import annotations
@@ -127,9 +137,19 @@ class AudioJsonDataset:
         self.conf = audio_conf
         self.index_dict = make_index_dict(label_csv)
         self.label_num = len(self.index_dict)
-        self.decoder = decoder or load_wav
+        self.decoder = decoder or self._default_decode
         self.decoder_is_default = decoder is None
         self.rev_audio = rev_audio
+
+    def _default_decode(self, path: str) -> tuple[np.ndarray, int]:
+        """WAV via stdlib; anything else via the native generic decoder."""
+        if path.lower().endswith(".wav"):
+            return load_wav(path)
+        from aum_tpu.data.native import decode_audio
+
+        cap = self.conf.target_samples  # `waveform` crops to this anyway
+        out, n_samples, sr = decode_audio(path, cap)
+        return out[:min(n_samples, cap)], sr
 
     def __len__(self) -> int:
         return len(self.data)

@@ -56,10 +56,12 @@ def make_featurize(conf: AudioConf, train: bool):
         num_mel_bins=conf.num_mel_bins,
     )
 
-    def featurize(key, waves, n_frames, labels):
+    def featurize(key, waves, n_frames, labels, p_waves=None, p_labels=None):
         if train and conf.mixup > 0:
             key, k_mix = jax.random.split(key)
-            waves, labels = mixup_waveforms(k_mix, waves, labels, conf.mixup)
+            waves, labels = mixup_waveforms(
+                k_mix, waves, labels, conf.mixup,
+                partner_wave=p_waves, partner_labels=p_labels)
         fb = fbank(waves, fb_cfg)  # (B, T, M)
         # Zero out frames beyond each clip's true frame count — the
         # reference's ZeroPad2d on the fbank (dataloader.py:137-147).
@@ -101,12 +103,18 @@ class BatchPipeline:
         self._featurize = make_featurize(self.dataset.conf, self.train)
         self._drop_last = (self.train if self.drop_last is None
                            else self.drop_last)
-        from aum_tpu.data.native import native_available
+        from aum_tpu.data.native import (audio_decoder_available,
+                                         native_available)
 
-        # Native decode only covers the plain-WAV no-reverse default path.
-        self._native = (self.use_native and native_available()
-                        and getattr(self.dataset, "decoder_is_default", False)
+        # Native batch decode covers the default-decoder no-reverse path:
+        # all-WAV batches go through the lean WAV decoder, mixed/compressed
+        # batches (flac/m4a/...) through the ffmpeg-backed generic decoder.
+        default_path = (self.use_native
+                        and getattr(self.dataset, "decoder_is_default",
+                                    False)
                         and not self.dataset.rev_audio)
+        self._native = default_path and native_available()
+        self._native_generic = default_path and audio_decoder_available()
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset) // jax.process_count()
@@ -139,15 +147,20 @@ class BatchPipeline:
 
         def assemble(idxs):
             """One host batch: native C++ batch decode when available
-            (csrc/wavloader.cpp), Python thread-pool decode otherwise;
+            (csrc/wavloader.cpp for all-WAV batches, csrc/audiodecode.cpp
+            for compressed formats), Python thread-pool decode otherwise;
             native failures fall back per-sample (decode-retry semantics
             preserved by dataset.sample)."""
-            if self._native:
-                from aum_tpu.data.native import decode_wav_batch
+            paths = [self.dataset.data[int(i)]["wav"] for i in idxs]
+            all_wav = all(p.lower().endswith(".wav") for p in paths)
+            use_native = self._native if all_wav else self._native_generic
+            if use_native:
+                from aum_tpu.data.native import (decode_audio_batch,
+                                                 decode_wav_batch)
 
-                paths = [self.dataset.data[int(i)]["wav"] for i in idxs]
-                res = decode_wav_batch(paths, conf.target_samples,
-                                       threads=self.num_workers)
+                fn = decode_wav_batch if all_wav else decode_audio_batch
+                res = fn(paths, conf.target_samples,
+                         threads=self.num_workers)
                 waves, n_samples, _, statuses = res
                 n_frames = np.minimum(
                     np.maximum(
@@ -168,6 +181,11 @@ class BatchPipeline:
                     np.stack([s[2] for s in samples]))
 
         bs = self.batch_size
+        # Previous host batch = extra mixup partner pool (see
+        # audio.augment.mixup_waveforms semantics notes): widens partners
+        # beyond the current balanced-sampler batch at zero decode cost.
+        use_partners = self.train and conf.mixup > 0
+        prev = None
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, len(order), bs):
                 idxs = order[start:start + bs]
@@ -175,7 +193,14 @@ class BatchPipeline:
                     break
                 waves, n_frames, labels = assemble(idxs)
                 key, kb = jax.random.split(key)
-                yield self._featurize(kb, waves, n_frames, labels)
+                if (use_partners and prev is not None
+                        and prev[0].shape == waves.shape):
+                    yield self._featurize(kb, waves, n_frames, labels,
+                                          prev[0], prev[1])
+                else:
+                    yield self._featurize(kb, waves, n_frames, labels)
+                if use_partners:
+                    prev = (waves, labels)
 
 
 class Prefetcher:
