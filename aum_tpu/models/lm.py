@@ -17,9 +17,10 @@ and utils/generation.py).
   this jitted step + lax control flow — the program is compiled once and
   replayed, which is what a CUDA graph emulates.
 
-Prefill uses the sequential oracle scan with return_last_state (the prompt
-is processed once; the classification path's fused Pallas kernel does not
-need to expose last-state for this).
+The parallel forward / prefill uses the fused Pallas selective scan in its
+single-direction ("none") configuration — the same fused op stack the
+reference LM shares with the classifier (mixer_seq_simple.py:86-264) —
+controlled by MambaLMConfig.use_kernel (None = auto, like the classifier).
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ from aum_tpu.ops import (
     causal_conv1d,
     causal_conv1d_update,
     fused_add_norm,
-    selective_scan_ref,
+    selective_scan,
     selective_state_update,
 )
 
@@ -61,6 +62,9 @@ class MambaLMConfig:
     pad_vocab_size_multiple: int = 8
     norm_epsilon: float = 1e-5
     dtype: str = "float32"
+    # Pallas kernel for the parallel forward / prefill scan (None = auto,
+    # same convention as the classifier's AudioMamba.use_kernel).
+    use_kernel: Optional[bool] = None
 
     @property
     def padded_vocab(self) -> int:
@@ -157,8 +161,9 @@ def _mixer_forward(layer, x, cfg, dtype):
     dt = x_dbl[..., :r] @ layer["dt_w"].astype(dtype)
     bm, cm = x_dbl[..., r:r + n], x_dbl[..., r + n:]
     a = -jnp.exp(layer["A_log"].astype(jnp.float32))
-    y = selective_scan_ref(xc, dt, a, bm, cm, layer["D"], z=z,
-                           delta_bias=layer["dt_b"], delta_softplus=True)
+    y = selective_scan(xc, dt, a, bm, cm, layer["D"], z=z,
+                       delta_bias=layer["dt_b"], delta_softplus=True,
+                       use_kernel=cfg.use_kernel)
     return y.astype(dtype) @ layer["out_proj"].astype(dtype)
 
 
