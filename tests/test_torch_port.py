@@ -223,3 +223,112 @@ def test_port_resamples_pos_embed_and_head_drop():
     params = merge_with_init(ported, init)
     out = model.apply(params, jnp.zeros((1, 256, 128)))
     assert out.shape == (1, 13)
+
+
+def make_sd_dims(rng, depth, d_model, n_patches, n_class,
+                 bimamba_type="v1", d_state=16, patch=16):
+    """Synthetic torch-layout state dict at arbitrary dimensions."""
+    d_inner = 2 * d_model
+    dt_rank = -(-d_model // 16)
+
+    def r(*shape, scale=0.02):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    sd = {
+        "cls_token": r(1, 1, d_model),
+        "pos_embed.pos_embed": r(1, n_patches + 1, d_model),
+        "patch_embed.proj.weight": r(d_model, 1, patch, patch),
+        "patch_embed.proj.bias": r(d_model),
+        "norm_f.weight": 1.0 + r(d_model),
+        "head.weight": r(n_class, d_model),
+        "head.bias": r(n_class),
+    }
+    for i in range(depth):
+        p = f"layers.{i}.mixer."
+        sd[f"layers.{i}.norm.weight"] = 1.0 + r(d_model)
+        sd[p + "in_proj.weight"] = r(2 * d_inner, d_model)
+        sd[p + "conv1d.weight"] = r(d_inner, 1, 4)
+        # layer-identifying constant so stacking order is checkable
+        sd[p + "conv1d.bias"] = np.full(d_inner, float(i), np.float32)
+        sd[p + "x_proj.weight"] = r(dt_rank + 2 * d_state, d_inner)
+        sd[p + "dt_proj.weight"] = r(d_inner, dt_rank)
+        sd[p + "dt_proj.bias"] = r(d_inner) - 4.0
+        sd[p + "A_log"] = np.log(np.tile(
+            np.arange(1, d_state + 1, dtype=np.float32), (d_inner, 1)))
+        sd[p + "D"] = 1.0 + r(d_inner)
+        sd[p + "out_proj.weight"] = r(d_model, d_inner)
+        if bimamba_type in ("v1", "v2"):
+            sd[p + "A_b_log"] = sd[p + "A_log"] + 0.1
+        if bimamba_type == "v2":
+            sd[p + "conv1d_b.weight"] = r(d_inner, 1, 4)
+            sd[p + "conv1d_b.bias"] = r(d_inner)
+            sd[p + "x_proj_b.weight"] = r(dt_rank + 2 * d_state, d_inner)
+            sd[p + "dt_proj_b.weight"] = r(d_inner, dt_rank)
+            sd[p + "dt_proj_b.bias"] = r(d_inner) - 4.0
+            sd[p + "D_b"] = 1.0 + r(d_inner)
+    return sd
+
+
+def test_port_base_scale_structure_and_forward():
+    """Porter at REAL base dimensions (depth 24, embed 768; VERDICT r1 #6):
+    full AS-grid (8x64) structural port + layer-stacking order + a forward
+    at base width."""
+    rng = np.random.default_rng(3)
+    # Structural port at the full AudioSet grid (128x1024 -> 8*64 patches).
+    sd = make_sd_dims(rng, depth=24, d_model=768, n_patches=512, n_class=527)
+    cfg = AudioMambaConfig(
+        spectrogram_size=(128, 1024), depth=24, embed_dim=768,
+        num_classes=527, bimamba_type="v1")
+    ported = port_aum_state_dict(sd, cfg)
+    p = ported["params"]
+    assert p["pos_embed"]["pos_embed"].shape == (1, 513, 768)
+    mixer = p["layers"]["block"]["mixer"]
+    assert mixer["in_proj_x_weight"].shape == (24, 768, 1536)
+    assert mixer["A_b_log"].shape == (24, 1536, 16)
+    # Stacked layer order: conv1d bias was filled with the layer index.
+    np.testing.assert_allclose(np.asarray(mixer["conv1d_bias"])[:, 0],
+                               np.arange(24.0))
+    # in_proj rows split torch's (2*d_inner, d) into x/z halves.
+    np.testing.assert_allclose(
+        np.asarray(mixer["in_proj_x_weight"][3]),
+        sd["layers.3.mixer.in_proj.weight"][:1536].T)
+    np.testing.assert_allclose(
+        np.asarray(mixer["in_proj_z_weight"][3]),
+        sd["layers.3.mixer.in_proj.weight"][1536:].T)
+
+    # Forward at base width (smaller grid to keep CPU time sane).
+    sd_s = make_sd_dims(rng, depth=24, d_model=768, n_patches=64,
+                        n_class=527)
+    cfg_s = AudioMambaConfig(
+        spectrogram_size=(128, 128), depth=24, embed_dim=768,
+        num_classes=527, bimamba_type="v1")
+    model = AudioMamba(cfg_s, use_kernel=False)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 128, 128), jnp.float32))
+    params = merge_with_init(port_aum_state_dict(sd_s, cfg_s), init)
+    out = model.apply(params, jnp.zeros((1, 128, 128)))
+    assert out.shape == (1, 527)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_verify_ckpt_script_record_then_verify(tmp_path):
+    """scripts/verify_ckpt.py end-to-end: synthetic .pth -> record golden ->
+    verify golden (PARITY OK path)."""
+    import torch
+
+    from scripts.verify_ckpt import main as verify_main
+
+    rng = np.random.default_rng(9)
+    sd = make_sd_dims(rng, depth=24, d_model=192, n_patches=64, n_class=35)
+    pth = str(tmp_path / "synthetic.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               pth)
+    x = (rng.standard_normal((2, 128, 128)) * 0.4).astype(np.float32)
+    npz = str(tmp_path / "fb.npz")
+    np.savez(npz, x=x)
+    golden = str(tmp_path / "golden.npz")
+    args = ["--ckpt", pth, "--model-type", "tiny", "--n-class", "35",
+            "--audio-length", "128", "--melbins", "128",
+            "--fbank-npz", npz]
+    assert verify_main(args + ["--record-to", golden]) == 0
+    assert verify_main(args + ["--golden", golden]) == 0
