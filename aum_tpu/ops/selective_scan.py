@@ -108,7 +108,7 @@ def _silu(x):
 def _fwd_kernel_z(
     u_ref, delta_ref, at_ref, b_ref, c_ref, d_ref, bias_ref, z_ref,
     out_ref, xb_ref,
-    state_ref, a_scr, dbu_scr, x_scr,
+    state_ref, a_scr, y_scr, dtu_scr, bm_scr, cm_scr,
     *, l_chunk: int, reverse: bool, save_states: bool, seq_len: int,
 ):
     """Forward kernel with fused D-skip and SiLU(z) gating.
@@ -122,6 +122,12 @@ def _fwd_kernel_z(
     overhang writes are discarded). Positions >= seq_len are neutralized by
     forcing dt=0 there (decay exp(0)=1 passes the state through, input term
     is 0), so the recurrence is exact regardless of scan direction.
+
+    Mirrors the dual kernel's fused design: the input term dt·u ⊗ B is
+    formed per step from small scratch (never a (L_c, N, d_b) chunk tensor),
+    the y-readout contraction happens per step in the loop (x never
+    round-trips through scratch), and exp goes through exp2 with log2(e)
+    folded into the (L_c, d_b) dt factor.
     """
     l = pl.program_id(2)
 
@@ -140,27 +146,29 @@ def _fwd_kernel_z(
     u = _mask0(mask, u_ref[...].astype(jnp.float32))  # (b_t,L_c,d_b)
     delta = delta_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
-    bm = _mask0(mask, b_ref[...].astype(jnp.float32))  # (b_t,L_c,N)
-    cm = _mask0(mask, c_ref[...].astype(jnp.float32))
 
     dt = _softplus(delta + bias_ref[...].astype(jnp.float32)[None])
     dt = _mask0(mask, dt)
 
-    a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
-    dbu_scr[...] = (dt * u)[:, :, None, :] * bm[:, :, :, None]
+    _LOG2E = 1.4426950408889634
+    a_scr[...] = jnp.exp2(
+        (dt * _LOG2E)[:, :, None, :] * a_t[None, None, :, :])
+    dtu_scr[...] = dt * u
+    bm_scr[...] = _mask0(mask, b_ref[...].astype(jnp.float32))
+    cm_scr[...] = _mask0(mask, c_ref[...].astype(jnp.float32))
 
     def body(i, x):
         t = (l_chunk - 1 - i) if reverse else i
-        x = a_scr[:, t] * x + dbu_scr[:, t]     # (b_t, N, d_b)
-        x_scr[:, t] = x
+        x = (a_scr[:, t] * x
+             + dtu_scr[:, t][:, None, :] * bm_scr[:, t][:, :, None])
+        y_scr[:, t] = jnp.sum(x * cm_scr[:, t][:, :, None], axis=1)
         return x
 
     state = jax.lax.fori_loop(0, l_chunk, body, state_ref[...],
                               unroll=l_chunk)
     state_ref[...] = state
 
-    y = jnp.sum(x_scr[...] * cm[:, :, :, None], axis=2)  # (b_t, L_c, d_b)
-    ycore = y + d_ref[...].astype(jnp.float32)[None] * u
+    ycore = y_scr[...] + d_ref[...].astype(jnp.float32)[None] * u
     zf = _mask0(mask, z_ref[...].astype(jnp.float32))
     out_ref[...] = (ycore * _silu(zf)).astype(out_ref.dtype)
 
@@ -255,10 +263,12 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),
+            pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),   # state
+            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # a
+            pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32),  # y
+            pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32),  # dt*u
+            pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32),   # B masked
+            pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32),   # C masked
         ],
         cost_estimate=cost,
         interpret=interpret,
@@ -955,11 +965,13 @@ def _get_dual_bwd_op(bwd_target: int, l_chunk: int, interpret: bool):
 
 @functools.lru_cache(maxsize=None)
 def _get_dual_fwd_op(save_states: bool, d_block_target: int, l_chunk: int,
-                     interpret: bool):
+                     interpret: bool, fuse_y: bool = True,
+                     inline_decay: bool = False):
     def fun(*args16):
         outs = _fwd_pallas_dual(
             args16[:8], args16[8:], save_states=save_states,
-            d_block=d_block_target, l_chunk=l_chunk, interpret=interpret)
+            d_block=d_block_target, l_chunk=l_chunk, interpret=interpret,
+            fuse_y=fuse_y, inline_decay=inline_decay)
         outf, outr, xbf, xbr = outs
         return (outf, outr, xbf, xbr) if save_states else (outf, outr)
 
@@ -1081,8 +1093,9 @@ def _fwd_kernel_dual(
     ur_ref, dr_ref, atr_ref, br_ref, cr_ref, dskr_ref, biasr_ref, zr_ref,
     outf_ref, outr_ref, xbf_ref, xbr_ref,
     statef_ref, stater_ref, af_scr, ar_scr,
-    xf_scr, xr_scr, dtuf_scr, dtur_scr, bfm_scr, brm_scr,
-    *, l_chunk: int, save_states: bool, seq_len: int,
+    xf_scr, xr_scr, dtuf_scr, dtur_scr, bfm_scr, brm_scr, *extra_scr,
+    l_chunk: int, save_states: bool, seq_len: int, fuse_y: bool = False,
+    inline_decay: bool = False,
 ):
     l = pl.program_id(2)
 
@@ -1114,12 +1127,24 @@ def _fwd_kernel_dual(
     # dt factor skips the hidden per-(L_c, N, d_b) multiply inside exp's
     # lowering (exp = exp2(x·log2e) on the VPU).
     _LOG2E = 1.4426950408889634
-    af_scr[...] = jnp.exp2(
-        (dtf * _LOG2E)[:, :, None, :]
-        * atf_ref[...].astype(jnp.float32)[None, None])
-    ar_scr[...] = jnp.exp2(
-        (dtr * _LOG2E)[:, :, None, :]
-        * atr_ref[...].astype(jnp.float32)[None, None])
+    if inline_decay:
+        # Decay computed per step inside the loop: exp2 of the (N, d_b)
+        # outer factor depends only on dt and A (not the running state), so
+        # it sits OFF the carry path and the unrolled FMA chains overlap it.
+        # This removes the two (L_c, N, d_b) decay buffers — the largest
+        # scratch by 16x — freeing VMEM for bigger batch tiles (fewer grid
+        # steps). af_scr/ar_scr here are (b_t, L_c, d_b) dt·log2(e) factors.
+        af_scr[...] = dtf * _LOG2E
+        ar_scr[...] = dtr * _LOG2E
+        atf = atf_ref[...].astype(jnp.float32)  # (N, d_b)
+        atr = atr_ref[...].astype(jnp.float32)
+    else:
+        af_scr[...] = jnp.exp2(
+            (dtf * _LOG2E)[:, :, None, :]
+            * atf_ref[...].astype(jnp.float32)[None, None])
+        ar_scr[...] = jnp.exp2(
+            (dtr * _LOG2E)[:, :, None, :]
+            * atr_ref[...].astype(jnp.float32)[None, None])
     # The input term dt·u ⊗ B is formed per-step in the loop (one broadcast
     # multiply of (d_b) × (N) factors read from small scratch) instead of
     # materializing a (L_c, N, d_b) chunk tensor: saves a full chunk-width
@@ -1130,27 +1155,62 @@ def _fwd_kernel_dual(
     bfm_scr[...] = _mask0(mf, bf_ref[...].astype(jnp.float32))
     brm_scr[...] = _mask0(mr, br_ref[...].astype(jnp.float32))
 
-    def body(i, carry):
-        xf, xr = carry
-        tr = l_chunk - 1 - i
-        xf = (af_scr[:, i] * xf
-              + dtuf_scr[:, i][:, None, :] * bfm_scr[:, i][:, :, None])
-        xr = (ar_scr[:, tr] * xr
-              + dtur_scr[:, tr][:, None, :] * brm_scr[:, tr][:, :, None])
-        xf_scr[:, i] = xf
-        xr_scr[:, tr] = xr
-        return (xf, xr)
+    if fuse_y:
+        # Fused y-readout: the C-contraction happens per step in the loop
+        # (x never round-trips through an (L_c, N, d_b) scratch — xf_scr /
+        # xr_scr here are the (L_c, d_b) y accumulators and extra_scr holds
+        # the masked C chunks). The reduction is off the carry path, so the
+        # unrolled chains still overlap.
+        cfm_scr, crm_scr = extra_scr
+        cfm_scr[...] = _mask0(mf, cf_ref[...].astype(jnp.float32))
+        crm_scr[...] = _mask0(mr, cr_ref[...].astype(jnp.float32))
 
-    statef, stater = jax.lax.fori_loop(
-        0, l_chunk, body, (statef_ref[...], stater_ref[...]),
-        unroll=l_chunk)
-    statef_ref[...] = statef
-    stater_ref[...] = stater
+        def body(i, carry):
+            xf, xr = carry
+            tr = l_chunk - 1 - i
+            if inline_decay:
+                daf = jnp.exp2(af_scr[:, i][:, None, :] * atf[None])
+                dar = jnp.exp2(ar_scr[:, tr][:, None, :] * atr[None])
+            else:
+                daf = af_scr[:, i]
+                dar = ar_scr[:, tr]
+            xf = (daf * xf
+                  + dtuf_scr[:, i][:, None, :] * bfm_scr[:, i][:, :, None])
+            xr = (dar * xr
+                  + dtur_scr[:, tr][:, None, :] * brm_scr[:, tr][:, :, None])
+            xf_scr[:, i] = jnp.sum(xf * cfm_scr[:, i][:, :, None], axis=1)
+            xr_scr[:, tr] = jnp.sum(xr * crm_scr[:, tr][:, :, None], axis=1)
+            return (xf, xr)
 
-    cf = _mask0(mf, cf_ref[...].astype(jnp.float32))
-    cr = _mask0(mr, cr_ref[...].astype(jnp.float32))
-    yf = jnp.sum(xf_scr[...] * cf[:, :, :, None], axis=2)
-    yr = jnp.sum(xr_scr[...] * cr[:, :, :, None], axis=2)
+        statef, stater = jax.lax.fori_loop(
+            0, l_chunk, body, (statef_ref[...], stater_ref[...]),
+            unroll=l_chunk)
+        statef_ref[...] = statef
+        stater_ref[...] = stater
+        yf = xf_scr[...]
+        yr = xr_scr[...]
+    else:
+        def body(i, carry):
+            xf, xr = carry
+            tr = l_chunk - 1 - i
+            xf = (af_scr[:, i] * xf
+                  + dtuf_scr[:, i][:, None, :] * bfm_scr[:, i][:, :, None])
+            xr = (ar_scr[:, tr] * xr
+                  + dtur_scr[:, tr][:, None, :] * brm_scr[:, tr][:, :, None])
+            xf_scr[:, i] = xf
+            xr_scr[:, tr] = xr
+            return (xf, xr)
+
+        statef, stater = jax.lax.fori_loop(
+            0, l_chunk, body, (statef_ref[...], stater_ref[...]),
+            unroll=l_chunk)
+        statef_ref[...] = statef
+        stater_ref[...] = stater
+
+        cf = _mask0(mf, cf_ref[...].astype(jnp.float32))
+        cr = _mask0(mr, cr_ref[...].astype(jnp.float32))
+        yf = jnp.sum(xf_scr[...] * cf[:, :, :, None], axis=2)
+        yr = jnp.sum(xr_scr[...] * cr[:, :, :, None], axis=2)
     ycf = yf + dskf_ref[...].astype(jnp.float32)[None] * uf
     ycr = yr + dskr_ref[...].astype(jnp.float32)[None] * ur
     zff = _mask0(mf, zf_ref[...].astype(jnp.float32))
@@ -1160,7 +1220,8 @@ def _fwd_kernel_dual(
 
 
 def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
-                     interpret, b_tile=None):
+                     interpret, b_tile=None, fuse_y=True,
+                     inline_decay=False):
     """args_f/args_r: (u, delta, a_t, bm, cm, dsk, bias, z) per direction.
     Forward direction scans chunks left->right, reverse right->left."""
     u = args_f[0]
@@ -1173,6 +1234,12 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         env_bt = _os.environ.get("AUM_SCAN_BTILE")
         if env_bt and bsz % int(env_bt) == 0:
             b_tile = int(env_bt)
+        elif fuse_y and inline_decay:
+            # No (L_c, N, d_b) scratch left; per-chain cost is dominated by
+            # the six (L_c, d_b) buffers + pipeline blocks + loop
+            # temporaries. Budget calibrated on-chip (sweep 2026-08).
+            b_tile = _pick_b_tile(bsz, l_chunk, d_block, 8, n_bufs=8,
+                                  budget_bytes=16 * 2 ** 20)
         else:
             b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad, n_bufs=6,
                                   budget_bytes=26 * 2 ** 20)
@@ -1221,13 +1288,31 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
                 (b_tile, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
                 memory_space=pltpu.VMEM))
 
+    if inline_decay and not fuse_y:
+        raise ValueError("inline_decay requires fuse_y")
     kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
-                               save_states=save_states, seq_len=seq_len)
+                               save_states=save_states, seq_len=seq_len,
+                               fuse_y=fuse_y, inline_decay=inline_decay)
     cost = pl.CostEstimate(
         flops=20 * bsz * seq_len * d * n_pad,
         bytes_accessed=8 * bsz * seq_len * d * 4,
         transcendentals=2 * bsz * seq_len * d * n_pad,
     )
+    if fuse_y:
+        # x never round-trips through scratch: the two big (L_c, N, d_b)
+        # buffers become (L_c, d_b) y accumulators, plus masked-C chunks.
+        x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
+        extra_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32)] * 2
+    else:
+        x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                                 jnp.float32)] * 2
+        extra_scr = []
+    if inline_decay:
+        # af/ar hold the (L_c, d_b) dt·log2(e) factors, not the decay.
+        a_scr = [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
+    else:
+        a_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                            jnp.float32)] * 2
     outs = pl.pallas_call(
         kernel,
         grid=(n_d, n_b, n_l),
@@ -1239,9 +1324,11 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         out_shape=out_shapes,
         scratch_shapes=(
             [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
-            + [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32)] * 4
+            + a_scr
+            + x_or_y_scr
             + [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
             + [pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32)] * 2
+            + extra_scr
         ),
         cost_estimate=cost,
         interpret=interpret,
@@ -1271,7 +1358,10 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
          dbt, l_chunk, l, _) = pf
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr, *_rest) = pr
-        op = _get_dual_fwd_op(False, dbt, l_chunk, interpret)
+        fuse_y = _env_int("AUM_SCAN_FUSED_Y", 1) != 0
+        inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 0) != 0
+        op = _get_dual_fwd_op(False, dbt, l_chunk, interpret, fuse_y,
+                              inline_decay)
         outf, outr = op(upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
                         upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr)
         return outf, outr
@@ -1284,7 +1374,10 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
          dbt, l_chunk, l, nf) = pf
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr,
          _db2, _lc2, _l2, nr) = pr
-        op = _get_dual_fwd_op(True, dbt, l_chunk, interpret)
+        fuse_y = _env_int("AUM_SCAN_FUSED_Y", 1) != 0
+        inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 0) != 0
+        op = _get_dual_fwd_op(True, dbt, l_chunk, interpret, fuse_y,
+                              inline_decay)
         outf, outr, xbf, xbr = op(
             upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
             upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr)
@@ -1372,13 +1465,15 @@ def selective_scan_dual(
         yr = selective_scan_ref(ur, dr, ar, br, cr, dskr, zr, biasr,
                                 delta_softplus=True, reverse=True)
         return yf, yr
-    # Measured-best tiling (docs/DESIGN.md §6): (512, chunk target 128 →
-    # _choose_l picks the minimal-overhang chunk, 104 at L=513, b_tile=1)
-    # wins at every batch size swept (B=12..128) — big d-tiles beat batch
-    # tiling once the conv/padding HBM overheads were removed. Overridable
-    # via AUM_SCAN_DBLOCK / AUM_SCAN_LCHUNK / AUM_SCAN_BTILE.
+    # Measured-best tiling (docs/DESIGN.md §6 + ROOFLINE.md): d-tile 768,
+    # chunk target 128 (_choose_l picks the minimal-overhang chunk, 104 at
+    # L=513), b_tile=1. The fused y-readout freed the two (L_c, N, d_b)
+    # x scratch buffers, which let the d-tile grow past the round-1 best of
+    # 512 (B=64 eval: 391.6 vs 388.8 clips/s, consistent across runs;
+    # d_block=1536 exceeds scoped VMEM). Overridable via AUM_SCAN_DBLOCK /
+    # AUM_SCAN_LCHUNK / AUM_SCAN_BTILE / AUM_SCAN_FUSED_Y.
     if d_block is None:
-        d_block = _env_int("AUM_SCAN_DBLOCK", 512)
+        d_block = _env_int("AUM_SCAN_DBLOCK", 768)
     if l_chunk is None:
         l_chunk = _env_int("AUM_SCAN_LCHUNK", 128)
     dual = _make_dual_scan(d_block, l_chunk, bool(interpret))

@@ -103,7 +103,9 @@ def test_partitioned_dual_grads_match_single_device():
                for g in gfn(*_shard(mesh, a_f), *_shard(mesh, a_r))]
     for i, (r, g) in enumerate(zip(ref, got)):
         scale = np.abs(r).max() + 1e-30
-        np.testing.assert_allclose(g / scale, r / scale, atol=5e-6,
+        # atol 2e-5: the fused y-readout reassociates the C-contraction, so
+        # sharded vs single-device sums differ by a few fp32 ulps.
+        np.testing.assert_allclose(g / scale, r / scale, atol=2e-5,
                                    err_msg=f"dual grad #{i}")
 
 
