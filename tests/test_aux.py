@@ -147,3 +147,40 @@ def test_cli_scripts_gen_weight_and_norm_stats(tmp_path):
             _os.path.dirname(_os.path.abspath(__file__))), env=env)
     assert out.returncode == 0, out.stderr[-500:]
     assert "mean=" in out.stdout
+
+
+def test_cli_infer_smoke(tmp_path):
+    """Smoke scripts/infer.py end-to-end on a generated wav with a tiny
+    random-init model (the reference inference notebook's single-clip path,
+    examples/inference/inference.ipynb)."""
+    import os as _os
+    import subprocess
+    import sys
+    import wave as wave_mod
+
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "clip.wav")
+    data = (np.clip(rng.standard_normal(16000) * 0.1, -1, 1)
+            * 32767).astype("<i2")
+    with wave_mod.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(data.tobytes())
+    (tmp_path / "l.csv").write_text(
+        "index,mid,display_name\n"
+        + "\n".join(f"{i},/m/{i},class{i}" for i in range(4)))
+
+    env = dict(_os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "scripts/infer.py", "--wav", p,
+         "--label-csv", str(tmp_path / "l.csv"),
+         "--set", "depth=2", "--set", "n_class=4",
+         "--set", "model_type=tiny", "--set", "dtype=float32",
+         "--set", "audio_length=128", "--topk", "2"],
+        capture_output=True, text=True, cwd=_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))), env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "random-init" in out.stdout
+    assert "class" in out.stdout
