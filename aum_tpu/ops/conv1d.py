@@ -14,13 +14,21 @@ Two implementations:
    pass (0.7 ms). But that fused pass still *reads* the padded input once per
    tap (~4R + 1W of HBM traffic at k=4).
 
-2. A Pallas kernel (default on TPU): each grid step loads a
-   (b_tile, L, d_block) panel into VMEM once, forms the k shifted
-   multiply-adds entirely on-chip, and writes the result — 1R + 1W of HBM
-   traffic, the bandwidth floor for this op. The full sequence length fits
-   VMEM at model shapes (L≈513), so no sequential chunk grid or carried halo
-   is needed. Math runs in x.dtype in both paths (in bf16 the 4-tap sum
-   rounds within ~1 ulp of fp32 accumulation; fp32 runs are exact).
+2. A Pallas kernel (opt-in via AUM_CONV_KERNEL=1 / use_kernel=True): each
+   grid step loads a (b_tile, L, d_block) panel into VMEM once, forms the k
+   shifted multiply-adds on-chip, and writes the result. The full sequence
+   length fits VMEM at model shapes (L≈513), so no sequential chunk grid or
+   carried halo is needed.
+
+Measured on v5e (scripts/bench_conv.py, B=64 L=513 D=1536): the bf16 XLA
+form runs ~0.24 ms — already at the 1R+1W HBM floor (XLA fuses the pad and
+all four tap-slices into one pass; the "4 reads" this kernel was built to
+eliminate don't materialize in practice). The kernel pays ~1.0 ms in bf16
+(Mosaic lowers the sublane-shifted tap slices of (16,128)-packed bf16 tiles
+to expensive roll ops) and wins only modestly in fp32 (1.34 vs 1.57 ms).
+Hence the XLA form is the DEFAULT on all backends; the kernel stays for
+fp32 use and as the partitioning-rule reference. End-to-end eval with the
+kernel on was 379.9 vs 391.3 clips/s with the XLA form — same story.
 
 The kernel path is wrapped in ``jax.custom_vjp``: the backward of a causal
 depthwise conv is an anti-causal depthwise conv of the cotangent (and
@@ -97,13 +105,18 @@ def causal_conv1d_xla(
 
 
 def _conv_kernel(x_ref, wt_ref, b_ref, out_ref, *, k: int, reverse: bool,
-                 activation: str | None):
+                 activation: str | None, compute_f32: bool):
     """One (b_tile, L, d_block) panel: zero-halo concat + k shifted FMAs.
 
-    Everything stays in VMEM; math in x.dtype to match the XLA form exactly
-    (bit-for-bit in fp32, ~1 ulp in bf16 from identical op order).
+    Everything stays in VMEM. compute_f32 converts on load: bf16 VMEM values
+    pack (16, 128) tiles, making the sublane-shifted tap slices expensive
+    (Mosaic emits packed roll ops); f32 shifts are cheap and the HBM traffic
+    stays bf16 either way. compute_f32=False matches the XLA form bit-for-bit
+    in fp32 and to ~1 ulp in bf16 (identical op order).
     """
     x = x_ref[...]                       # (b_t, L, d_b)
+    if compute_f32:
+        x = x.astype(jnp.float32)
     w = wt_ref[...].astype(x.dtype)      # (k, d_b)
     l_ = x.shape[1]
     zpad = jnp.zeros((x.shape[0], k - 1, x.shape[2]), x.dtype)
@@ -119,7 +132,7 @@ def _conv_kernel(x_ref, wt_ref, b_ref, out_ref, *, k: int, reverse: bool,
     out = out + b_ref[...].astype(x.dtype)[None]
     if activation == "silu":
         out = out * _sigmoid(out)
-    out_ref[...] = out
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _pick_conv_b_tile(bsz: int, l_: int, d_block: int, esize: int,
@@ -133,9 +146,10 @@ def _pick_conv_b_tile(bsz: int, l_: int, d_block: int, esize: int,
 
 
 def _conv_pallas(x, wt, bias2, *, reverse: bool, activation: str | None,
-                 d_block: int, b_tile, interpret: bool):
+                 d_block: int, b_tile, interpret: bool, compute_f32: bool):
     bsz, l_, d = x.shape
     k = wt.shape[0]
+    compute_f32 = compute_f32 and x.dtype != jnp.float32
     d_block = _pick_d_block(d, d_block)
     n_d = d // d_block
     if b_tile is None:
@@ -152,7 +166,8 @@ def _conv_pallas(x, wt, bias2, *, reverse: bool, activation: str | None,
                           memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_conv_kernel, k=k, reverse=reverse,
-                               activation=activation)
+                               activation=activation,
+                               compute_f32=compute_f32)
     cost = pl.CostEstimate(
         flops=(2 * k + 4) * bsz * l_ * d,
         bytes_accessed=2 * bsz * l_ * d * x.dtype.itemsize,
@@ -177,13 +192,14 @@ def _dsilu(pre):
 
 @functools.lru_cache(maxsize=None)
 def _get_conv_op(reverse: bool, activation: str | None, d_block: int,
-                 b_tile, interpret: bool):
+                 b_tile, interpret: bool, compute_f32: bool = True):
     """custom_vjp'd (x, weight, bias) -> out with a partitioned Pallas fwd."""
 
     def pallas_fun(x, wt, bias2):
         return _conv_pallas(x, wt, bias2, reverse=reverse,
                             activation=activation, d_block=d_block,
-                            b_tile=b_tile, interpret=interpret)
+                            b_tile=b_tile, interpret=interpret,
+                            compute_f32=compute_f32)
 
     if _partition_enabled():
         # x: (B, L, D) "seq"; wt: (k, D) matches the "at" (n d) factors;
@@ -256,8 +272,8 @@ def causal_conv1d(
       activation: None | "silu".
       reverse: anti-causal (right-padded, taps reversed) — equivalent to
         flipping the sequence before and after a causal conv.
-      use_kernel: force the Pallas path (None = on TPU backend, overridable
-        via AUM_CONV_KERNEL=0).
+      use_kernel: force the Pallas path (None = off — the XLA form measured
+        faster on-chip, see module docstring; opt in via AUM_CONV_KERNEL=1).
       interpret: Pallas interpret mode (None = auto: off on TPU).
 
     Returns:
@@ -266,7 +282,7 @@ def causal_conv1d(
     if activation not in (None, "silu"):
         raise ValueError(f"unsupported activation: {activation}")
     if use_kernel is None:
-        use_kernel = (_env_int("AUM_CONV_KERNEL", 1) != 0
+        use_kernel = (_env_int("AUM_CONV_KERNEL", 0) != 0
                       and jax.default_backend() == "tpu")
     if not use_kernel:
         return causal_conv1d_xla(x, weight, bias, activation, reverse)
@@ -277,7 +293,7 @@ def causal_conv1d(
     if b_tile is None:
         b_tile = _env_int("AUM_CONV_BTILE", 0) or None
     op = _get_conv_op(bool(reverse), activation, d_block, b_tile,
-                      bool(interpret))
+                      bool(interpret), _env_int("AUM_CONV_F32", 1) != 0)
     bias_arr = (jnp.zeros((x.shape[-1],), x.dtype) if bias is None
                 else bias)
     return op(x, weight, bias_arr)

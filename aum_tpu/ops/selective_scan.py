@@ -393,8 +393,134 @@ def _bwd_kernel(
     # (dbp is already masked through dt=0; dcp through gy=0.)
 
 
+def _bwd_kernel_fused(
+    # inputs
+    u_ref, delta_ref, at_ref, b_ref, c_ref, d_ref, bias_ref, z_ref,
+    g_ref, xb_ref,
+    # outputs
+    du_ref, ddelta_ref, dz_ref, dat_ref, dd_ref, dbias_ref, dbp_ref, dcp_ref,
+    # scratch
+    lam_state, xprev_scr, um_scr, dt_scr, sig_scr, gy_scr, bm_scr, cm_scr,
+    *, l_chunk: int, reverse: bool, seq_len: int,
+):
+    """Fused-loop adjoint (v2 of _bwd_kernel — same math, see its notes and
+    the derivation anchored to selective_scan_interface.py:219-246).
+
+    Every (L_c, N, d_b)-sized quantity except the pre-step states is formed
+    PER STEP inside the two serial loops: the decay is recomputed by exp2
+    in both loops (off the carry path, overlapped by the unrolled chains;
+    costs 2x the exp at 24% exp-port utilization), dBu / C·gy / dla and all
+    their grad reductions happen per step, and dA/dbias accumulate in
+    loop-carried values. That shrinks scoped VMEM from four declared chunk
+    buffers + chunk-wide stack temporaries (~8.4 buffer-equivalents,
+    capping the d-tile at 256) to ONE chunk buffer + per-step temporaries —
+    letting the backward run at the forward's d-tile with 3x fewer grid
+    passes and no redundant decay/lambda VMEM round-trips.
+
+    MEASURED SLOWER on v5e and therefore OFF by default
+    (AUM_SCAN_BWD_FUSED=1 opts in): B=12 base train step 240.4 ms at
+    d-tile 768 / 422.2 ms at d-tile 256, vs 208.1 ms for _bwd_kernel at
+    d-tile 256. The five per-step cross-N reductions (dat/gdtu/ddt/dbp/dcp)
+    cost more than the three eliminated chunk buffers buy — chunk-wide
+    vectorized reductions win on the VPU. Kept as the measured negative
+    result and for shapes where VMEM, not issue rate, binds.
+    """
+    bi = pl.program_id(1)
+    l = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(bi == 0, l == 0))
+    def _():
+        dat_ref[...] = jnp.zeros_like(dat_ref)
+        dd_ref[...] = jnp.zeros_like(dd_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(l == 0)
+    def _():
+        lam_state[...] = jnp.zeros_like(lam_state)
+
+    n_lp = pl.num_programs(2)
+    logical_chunk = l if reverse else (n_lp - 1 - l)
+    m = _pos_mask(logical_chunk, l_chunk, seq_len, u_ref.shape)
+
+    # Masked per-position loads -> scratch (overhang bits may be NaN/inf;
+    # the loops index these dynamically, which Mosaic allows on refs only).
+    um_scr[...] = _mask0(m, u_ref[...].astype(jnp.float32))
+    delta = delta_ref[...].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)[None]
+    a_t = at_ref[...].astype(jnp.float32)            # (N, d_b)
+    sig_scr[...] = _mask0(m, _sigmoid(delta + bias))
+    dt_scr[...] = _mask0(m, _softplus(delta + bias))
+    bm_scr[...] = _mask0(m, b_ref[...].astype(jnp.float32))
+    cm_scr[...] = _mask0(m, c_ref[...].astype(jnp.float32))
+    dsk0 = d_ref[...].astype(jnp.float32)            # (1, d_b)
+
+    _LOG2E = 1.4426950408889634
+
+    # --- Forward recompute: store PRE-step states, emit y per step. --------
+    def fwd_body(i, x):
+        t = (l_chunk - 1 - i) if reverse else i
+        xprev_scr[:, t] = x
+        dt_t = dt_scr[:, t]
+        a_step = jnp.exp2((dt_t * _LOG2E)[:, None, :] * a_t[None])
+        x = (a_step * x
+             + (dt_t * um_scr[:, t])[:, None, :] * bm_scr[:, t][:, :, None])
+        gy_scr[:, t] = jnp.sum(x * cm_scr[:, t][:, :, None], axis=1)
+        return x
+
+    x0 = xb_ref[:, 0].astype(jnp.float32)            # (b_t, N, d_b)
+    jax.lax.fori_loop(0, l_chunk, fwd_body, x0, unroll=l_chunk)
+
+    # --- Gating grads (vector phase; gy_scr holds y, then gy). -------------
+    zf = _mask0(m, z_ref[...].astype(jnp.float32))
+    g = _mask0(m, g_ref[...].astype(jnp.float32))
+    ycore = gy_scr[...] + dsk0[None] * um_scr[...]
+    sigz = _sigmoid(zf)
+    silz = zf * sigz
+    dz = g * ycore * (sigz * (1.0 + zf * (1.0 - sigz)))
+    dz_ref[...] = dz.astype(dz_ref.dtype)
+    gy = _mask0(m, g * silz)
+    dd_ref[...] += jnp.sum(gy * um_scr[...], axis=(0, 1), keepdims=True)[0]
+    gy_scr[...] = gy
+
+    # --- Adjoint scan with per-step grad emission. --------------------------
+    # Overhang correctness matches _bwd_kernel's argument: lam there is pure
+    # propagation, and every per-position grad is killed by a masked factor
+    # (dat/du via dt=0, ddelta via sig=0, dbp via dt·u=0, dcp via gy=0).
+    def bwd_body(i, carry):
+        p, dat_acc, db_acc = carry
+        t = i if reverse else (l_chunk - 1 - i)
+        dt_t = dt_scr[:, t]                          # (b_t, d_b)
+        a_step = jnp.exp2((dt_t * _LOG2E)[:, None, :] * a_t[None])
+        xprev = xprev_scr[:, t]                      # (b_t, N, d_b)
+        gy_t = gy_scr[:, t]
+        lam = cm_scr[:, t][:, :, None] * gy_t[:, None, :] + p
+        dla = lam * a_step * xprev
+        dat_acc = dat_acc + jnp.sum(dt_t[:, None, :] * dla, axis=0)
+        gdtu = jnp.sum(lam * bm_scr[:, t][:, :, None], axis=1)
+        ddt = jnp.sum(dla * a_t[None], axis=1) + gdtu * um_scr[:, t]
+        ddelta_t = ddt * sig_scr[:, t]
+        ddelta_ref[:, t] = ddelta_t.astype(ddelta_ref.dtype)
+        db_acc = db_acc + jnp.sum(ddelta_t, axis=0, keepdims=True)
+        du_ref[:, t] = (gy_t * dsk0 + gdtu * dt_t).astype(du_ref.dtype)
+        dtu_t = dt_t * um_scr[:, t]
+        dbp_ref[0, :, t] = jnp.sum(lam * dtu_t[:, None, :], axis=2)
+        xt = a_step * xprev + dtu_t[:, None, :] * bm_scr[:, t][:, :, None]
+        dcp_ref[0, :, t] = jnp.sum(xt * gy_t[:, None, :], axis=2)
+        return (a_step * lam, dat_acc, db_acc)
+
+    init = (lam_state[...],
+            jnp.zeros(dat_ref.shape, jnp.float32),
+            jnp.zeros(dbias_ref.shape, jnp.float32))
+    lam_f, dat_acc, db_acc = jax.lax.fori_loop(0, l_chunk, bwd_body, init,
+                                               unroll=l_chunk)
+    lam_state[...] = lam_f
+    dat_ref[...] += dat_acc
+    dbias_ref[...] += db_acc
+
+
 def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
-                reverse, d_block, l_chunk, interpret, b_tile=None):
+                reverse, d_block, l_chunk, interpret, b_tile=None,
+                fused=True):
     bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
     # d_block arg is the *target* (VMEM-budget-capped by the caller); pick
@@ -404,11 +530,13 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
     n_d = d // d_block
     n_l = -(-seq_len // l_chunk)  # cdiv
     if b_tile is None:
-        # Calibrated cost model: ~8.4 buffer-equivalents of stack temporaries
-        # + scratch per chain (see scan_bwd). Earlier optimistic models
-        # compiled to 23.3M / 17.6M scoped-vmem and were rejected by the
-        # 16MB limit, so leave margin: 9 equivalents against a 12M budget.
-        b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad, n_bufs=9,
+        # Calibrated cost model: buffer-equivalents of stack temporaries +
+        # scratch per chain (see scan_bwd) — ~8.4 for the v1 kernel, ~3 for
+        # the fused one (one declared chunk buffer, per-step temporaries).
+        # Earlier optimistic models compiled to 23.3M / 17.6M scoped-vmem
+        # and were rejected by the 16MB limit, so leave margin.
+        b_tile = _pick_b_tile(bsz, l_chunk, d_block, n_pad,
+                              n_bufs=4 if fused else 9,
                               budget_bytes=12 * 2 ** 20)
     n_b = bsz // b_tile
 
@@ -437,8 +565,9 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
         (1, b_tile, l_chunk, n_pad), lambda di, bi, li: (di, bi, cmap(li), 0),
         memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_bwd_kernel, l_chunk=l_chunk, reverse=reverse,
-                               seq_len=seq_len)
+    kernel = functools.partial(
+        _bwd_kernel_fused if fused else _bwd_kernel,
+        l_chunk=l_chunk, reverse=reverse, seq_len=seq_len)
 
     out_shapes = [
         jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype),      # du
@@ -466,13 +595,25 @@ def _bwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, g, xb, *,
                   vec_spec, seq_spec, seq_spec, xb_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),   # lam carry
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # a
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # x
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # lam
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # dBu/CgY
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),  # lam carry
+             pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                        jnp.float32)]                            # xprev
+            + [pltpu.VMEM((b_tile, l_chunk, d_block),
+                          jnp.float32)] * 4                      # um/dt/sig/gy
+            + [pltpu.VMEM((b_tile, l_chunk, n_pad),
+                          jnp.float32)] * 2                      # bm/cm
+            if fused else
+            [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),  # lam carry
+             pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                        jnp.float32),                            # a
+             pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                        jnp.float32),                            # x
+             pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                        jnp.float32),                            # lam
+             pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                        jnp.float32)]                            # dBu/CgY
+        ),
         cost_estimate=cost,
         interpret=interpret,
     )(u, delta, a_t, bm, cm, dsk, bias, z, g, xb)
@@ -920,11 +1061,12 @@ def _get_fwd_op(reverse: bool, save_states: bool, d_block_target: int,
 
 @functools.lru_cache(maxsize=None)
 def _get_bwd_op(reverse: bool, bwd_target: int, l_chunk: int,
-                interpret: bool):
+                interpret: bool, fused: bool = True):
     def fun(u, delta, a_t, bm, cm, dsk, bias, z, g, xb):
         du, ddelta, dz, dat, dd, dbias, dbp, dcp = _bwd_pallas(
             u, delta, a_t, bm, cm, dsk, bias, z, g, xb, reverse=reverse,
-            d_block=bwd_target, l_chunk=l_chunk, interpret=interpret)
+            d_block=bwd_target, l_chunk=l_chunk, interpret=interpret,
+            fused=fused)
         # Reduce the per-d-tile dB/dC partials here so the op's outputs are
         # global shapes (the remaining cross-shard d-reduction is the psum
         # in the partitioning rule).
@@ -1019,10 +1161,12 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         # so the backward d-tile is independent of the forward's (only
         # l_chunk must match).
         n_pad = a_t.shape[0]
-        budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
+        fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
+        eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
+        budget = int(15.5 * 2**20 / (eq * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
-        op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret)
+        op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused)
         du, ddelta, dz, dat, dd, dbias, dbsum, dcsum = op(
             up, dp, a_t, bp, cp, dsk, bias, zp, gout, xb)
         dA = jnp.swapaxes(dat, 0, 1)[:, :n]
@@ -1235,9 +1379,12 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         if env_bt and bsz % int(env_bt) == 0:
             b_tile = int(env_bt)
         elif fuse_y and inline_decay:
-            # No (L_c, N, d_b) scratch left; per-chain cost is dominated by
-            # the six (L_c, d_b) buffers + pipeline blocks + loop
-            # temporaries. Budget calibrated on-chip (sweep 2026-08).
+            # No (L_c, N, d_b) scratch left, but Mosaic stack temporaries
+            # still scale with b_t·L_c·N·d_b (measured: 8.4M total at
+            # bt1/l104/d768, 16.87M at bt2 — over the 16M scoped limit), so
+            # the effective per-chain budget model keeps N in the product.
+            # At model shapes this yields bt=1, which also measured fastest
+            # (sweep 2026-08: trading chunk for batch tile loses).
             b_tile = _pick_b_tile(bsz, l_chunk, d_block, 8, n_bufs=8,
                                   budget_bytes=16 * 2 ** 20)
         else:
@@ -1359,7 +1506,7 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
          dbt, l_chunk, l, _) = pf
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr, *_rest) = pr
         fuse_y = _env_int("AUM_SCAN_FUSED_Y", 1) != 0
-        inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 0) != 0
+        inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
         op = _get_dual_fwd_op(False, dbt, l_chunk, interpret, fuse_y,
                               inline_decay)
         outf, outr = op(upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
@@ -1375,7 +1522,7 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr,
          _db2, _lc2, _l2, nr) = pr
         fuse_y = _env_int("AUM_SCAN_FUSED_Y", 1) != 0
-        inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 0) != 0
+        inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
         op = _get_dual_fwd_op(True, dbt, l_chunk, interpret, fuse_y,
                               inline_decay)
         outf, outr, xbf, xbr = op(
@@ -1413,13 +1560,15 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
             return finish(outs[:8], argsf, nf) + finish(outs[8:], argsr, nr)
 
         # Two sequential single-direction passes (AUM_SCAN_DUAL_BWD=0).
-        budget = int(15.5 * 2**20 / (8.4 * l_chunk * n_pad * 4))
+        fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
+        eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
+        budget = int(15.5 * 2**20 / (eq * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
 
         def one(args, xb, g, reverse, n):
             up, dp, a_t, bp, cp, dsk, bias, zp = args
-            op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret)
+            op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused)
             return finish(op(up, dp, a_t, bp, cp, dsk, bias, zp, g, xb),
                           args, n)
 
@@ -1467,11 +1616,14 @@ def selective_scan_dual(
         return yf, yr
     # Measured-best tiling (docs/DESIGN.md §6 + ROOFLINE.md): d-tile 768,
     # chunk target 128 (_choose_l picks the minimal-overhang chunk, 104 at
-    # L=513), b_tile=1. The fused y-readout freed the two (L_c, N, d_b)
-    # x scratch buffers, which let the d-tile grow past the round-1 best of
-    # 512 (B=64 eval: 391.6 vs 388.8 clips/s, consistent across runs;
-    # d_block=1536 exceeds scoped VMEM). Overridable via AUM_SCAN_DBLOCK /
-    # AUM_SCAN_LCHUNK / AUM_SCAN_BTILE / AUM_SCAN_FUSED_Y.
+    # L=513), b_tile=1, fused y-readout + inline decay. The fused y-readout
+    # freed the two (L_c, N, d_b) x scratch buffers (d-tile could grow past
+    # 512: 391.6 vs 388.8 clips/s B=64 eval); inline decay then removed the
+    # two decay buffers (408.2 clips/s, +4.2%). Trading chunk size for batch
+    # tile LOSES (bt2 l88: 395.5, bt4 l48: 392.5 — grid-step overhead is
+    # smaller than overhang waste), so b_tile stays 1 at model shapes.
+    # Overridable via AUM_SCAN_DBLOCK / AUM_SCAN_LCHUNK / AUM_SCAN_BTILE /
+    # AUM_SCAN_FUSED_Y / AUM_SCAN_INLINE_DECAY.
     if d_block is None:
         d_block = _env_int("AUM_SCAN_DBLOCK", 768)
     if l_chunk is None:

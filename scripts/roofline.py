@@ -108,11 +108,12 @@ def measure_hbm_bw(quick=False):
     return 2 * 4 * n_el / per_iter  # bytes/sec (1 read + 1 write)
 
 
-def measure_scan(quick=False):
+def measure_scan(quick=False, bsz=None):
     """Dual fwd kernel + full VJP at model shape (B=64 eval tiling)."""
     from aum_tpu.ops.selective_scan import selective_scan_dual
 
-    bsz, l, d, n = (16, 513, 1536, 16) if quick else (64, 513, 1536, 16)
+    _b, l, d, n = (16, 513, 1536, 16) if quick else (64, 513, 1536, 16)
+    bsz = bsz or _b
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     u = jax.random.normal(ks[0], (bsz, l, d), jnp.bfloat16)
     delta = jax.random.normal(ks[1], (bsz, l, d), jnp.bfloat16) * 0.5
@@ -155,16 +156,24 @@ def measure_scan(quick=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--bsz", type=int, default=None)
+    ap.add_argument("--scan-only", action="store_true")
     a = ap.parse_args()
 
     print("backend:", jax.default_backend())
+    if a.scan_only:
+        bsz, l, d, n, t_fwd, t_full = measure_scan(a.quick, a.bsz)
+        print(f"dual scan fwd (B={bsz}): {t_fwd*1e3:.2f} ms "
+              f"({t_fwd/bsz*1e6:.1f} us/clip); fwd+bwd {t_full*1e3:.2f} ms "
+              f"({t_full/bsz*1e6:.1f} us/clip)")
+        return
     fma = measure_vpu_fma(a.quick)
     print(f"VPU fma throughput:      {fma/1e12:.2f} TFLOP/s (fp32 elementwise)")
     expt = measure_exp(a.quick)
     print(f"exp throughput:          {expt/1e9:.1f} Gexp/s")
     bw = measure_hbm_bw(a.quick)
     print(f"HBM bandwidth:           {bw/1e9:.0f} GB/s (1R+1W streaming)")
-    bsz, l, d, n, t_fwd, t_full = measure_scan(a.quick)
+    bsz, l, d, n, t_fwd, t_full = measure_scan(a.quick, a.bsz)
     el = bsz * l * d
     # Per-(b,l,d) element the dual fwd does ~2 directions x (n ops of exp2
     # input prep + fma scan + C-readout + dBu) + gating: see DESIGN.md §6.

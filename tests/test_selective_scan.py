@@ -155,3 +155,27 @@ def test_fused_dual_backward_matches_two_pass(shared, monkeypatch):
     for i, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
                                    err_msg=f"grad #{i}")
+
+
+def test_fused_loop_backward_matches_v1(monkeypatch):
+    """The fused-loop backward kernel (AUM_SCAN_BWD_FUSED=1; default-off
+    after v5e measurement — see _bwd_kernel_fused docstring) must produce
+    the same grads as the chunk-vectorized v1 backward."""
+    from aum_tpu.ops.selective_scan import selective_scan
+
+    u, delta, A, B, C, D, z, bias = _make_inputs(
+        jax.random.PRNGKey(10), bsz=2, l=37, d=24, n=8)
+
+    def loss(*flat):
+        y = selective_scan(*flat, delta_softplus=True, d_block=8, l_chunk=16,
+                           use_kernel=True)
+        return jnp.sum(jnp.cos(y))
+
+    gfn = jax.grad(loss, argnums=tuple(range(8)))
+    monkeypatch.setenv("AUM_SCAN_BWD_FUSED", "0")
+    ref = [np.asarray(g) for g in gfn(u, delta, A, B, C, D, z, bias)]
+    monkeypatch.setenv("AUM_SCAN_BWD_FUSED", "1")
+    got = [np.asarray(g) for g in gfn(u, delta, A, B, C, D, z, bias)]
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"grad #{i}")
