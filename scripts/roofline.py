@@ -25,23 +25,28 @@ import jax.numpy as jnp
 import aum_tpu  # noqa: F401  (compilation cache)
 
 
-def timed_chain(build_fn, x0, n_short, n_long):
-    """Per-iteration seconds of build_fn's loop body via chain-length diff."""
+def timed_chain(build_fn, x0, n_short, n_long, extra=()):
+    """Per-iteration seconds of build_fn's loop body via chain-length diff.
+
+    `extra` tensors are passed as jit ARGUMENTS, not closure constants —
+    closure constants are embedded in the remote-compile payload and large
+    ones trip its HTTP 413 size limit (see CLAUDE.md).
+    """
     def chained(n):
         @jax.jit
-        def f(x):
-            return build_fn(x, n)
+        def f(x, *extra):
+            return build_fn(x, n, *extra)
         return f
 
     times = {}
     for n in (n_short, n_long):
         fn = chained(n)
-        float(jnp.sum(fn(x0)))  # compile+warm
+        float(jnp.sum(fn(x0, *extra)))  # compile+warm
         best = None
         for rep in range(3):
             x = x0 + 1e-6 * (rep + 1 + n)
             t0 = time.perf_counter()
-            float(jnp.sum(fn(x)))
+            float(jnp.sum(fn(x, *extra)))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[n] = best
@@ -125,7 +130,11 @@ def measure_scan(quick=False, bsz=None):
     db = jax.random.normal(ks[7], (d,), jnp.float32) * 0.3
     args = (u, delta, A, B, C, D, z, db)
 
-    def fwd_once(x, n_it):
+    rest = (delta, A, B, C, D, z, db)
+
+    def fwd_once(x, n_it, *rest):
+        delta, A, B, C, D, z, db = rest
+
         def it(_, carry):
             uu = carry
             yf, yr = selective_scan_dual(
@@ -134,9 +143,11 @@ def measure_scan(quick=False, bsz=None):
             return uu + (jnp.mean(yf + yr) * 1e-12).astype(uu.dtype)
         return jax.lax.fori_loop(0, n_it, it, x)
 
-    t_fwd = timed_chain(fwd_once, u, 2, 6)
+    t_fwd = timed_chain(fwd_once, u, 2, 6, extra=rest)
 
-    def vjp_once(x, n_it):
+    def vjp_once(x, n_it, *rest):
+        delta, A, B, C, D, z, db = rest
+
         def loss(uu):
             yf, yr = selective_scan_dual(
                 (uu, delta, A, B, C, D, z, db),
@@ -149,7 +160,7 @@ def measure_scan(quick=False, bsz=None):
             return uu + g.astype(uu.dtype) * 1e-12
         return jax.lax.fori_loop(0, n_it, it, x)
 
-    t_full = timed_chain(vjp_once, u, 2, 6)
+    t_full = timed_chain(vjp_once, u, 2, 6, extra=rest)
     return bsz, l, d, n, t_fwd, t_full
 
 
