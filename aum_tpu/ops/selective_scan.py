@@ -110,6 +110,7 @@ def _fwd_kernel_z(
     out_ref, xb_ref,
     state_ref, a_scr, y_scr, dtu_scr, bm_scr, cm_scr,
     *, l_chunk: int, reverse: bool, save_states: bool, seq_len: int,
+    inline_decay: bool = False,
 ):
     """Forward kernel with fused D-skip and SiLU(z) gating.
 
@@ -119,9 +120,12 @@ def _fwd_kernel_z(
 
     Inputs are NOT padded on the host: the last chunk's blocks overhang the
     array (Pallas allows out-of-bounds blocks; overhang reads are garbage,
-    overhang writes are discarded). Positions >= seq_len are neutralized by
-    forcing dt=0 there (decay exp(0)=1 passes the state through, input term
-    is 0), so the recurrence is exact regardless of scan direction.
+    overhang writes are discarded). For reverse scans, positions >= seq_len
+    are neutralized by forcing dt=0 / dt·u=0 / B=0 there (decay exp(0)=1
+    passes the state through, input term is 0) — the overhang chunk is
+    processed first, so its garbage would otherwise poison every valid
+    chunk's carry. Forward scans need no masking at all (see the in-code
+    note), which saves several full-chunk select passes per grid step.
 
     Mirrors the dual kernel's fused design: the input term dt·u ⊗ B is
     formed per step from small scratch (never a (L_c, N, d_b) chunk tensor),
@@ -138,28 +142,46 @@ def _fwd_kernel_z(
     if save_states:
         xb_ref[...] = state_ref[...][:, None]
 
-    logical = (pl.num_programs(2) - 1 - l) if reverse else l
-    mask = _pos_mask(logical, l_chunk, seq_len, u_ref.shape)
-    # Overhang reads may be arbitrary bits (incl. NaN/inf): every loaded
-    # per-position tensor must be masked, since 0 * NaN = NaN would poison
-    # the carried state.
-    u = _mask0(mask, u_ref[...].astype(jnp.float32))  # (b_t,L_c,d_b)
+    # Overhang masking is needed only when this scan direction processes
+    # the overhang chunk FIRST (reverse=True: right-to-left across chunks,
+    # invalid tail steps first within the chunk) — garbage there would
+    # poison the carried state. Forward scans meet the overhang last, so
+    # garbage only reaches dying state and discarded output rows (see the
+    # fuller argument in _fwd_kernel_dual). Only the recurrence inputs
+    # (dt, u, B) need the mask; C and z feed valid rows only.
+    if reverse:
+        mask = _pos_mask(pl.num_programs(2) - 1 - l, l_chunk, seq_len,
+                         u_ref.shape)
+        u = _mask0(mask, u_ref[...].astype(jnp.float32))  # (b_t,L_c,d_b)
+    else:
+        u = u_ref[...].astype(jnp.float32)
     delta = delta_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
 
     dt = _softplus(delta + bias_ref[...].astype(jnp.float32)[None])
-    dt = _mask0(mask, dt)
+    if reverse:
+        dt = _mask0(mask, dt)
 
     _LOG2E = 1.4426950408889634
-    a_scr[...] = jnp.exp2(
-        (dt * _LOG2E)[:, :, None, :] * a_t[None, None, :, :])
+    if inline_decay:
+        # As in _fwd_kernel_dual: per-step exp2 off the carry path; a_scr is
+        # the (b_t, L_c, d_b) dt·log2(e) factor, not the materialized decay.
+        a_scr[...] = dt * _LOG2E
+    else:
+        a_scr[...] = jnp.exp2(
+            (dt * _LOG2E)[:, :, None, :] * a_t[None, None, :, :])
     dtu_scr[...] = dt * u
-    bm_scr[...] = _mask0(mask, b_ref[...].astype(jnp.float32))
-    cm_scr[...] = _mask0(mask, c_ref[...].astype(jnp.float32))
+    bm = b_ref[...].astype(jnp.float32)
+    bm_scr[...] = _mask0(mask, bm) if reverse else bm
+    cm_scr[...] = c_ref[...].astype(jnp.float32)
 
     def body(i, x):
         t = (l_chunk - 1 - i) if reverse else i
-        x = (a_scr[:, t] * x
+        if inline_decay:
+            da = jnp.exp2(a_scr[:, t][:, None, :] * a_t[None])
+        else:
+            da = a_scr[:, t]
+        x = (da * x
              + dtu_scr[:, t][:, None, :] * bm_scr[:, t][:, :, None])
         y_scr[:, t] = jnp.sum(x * cm_scr[:, t][:, :, None], axis=1)
         return x
@@ -169,7 +191,7 @@ def _fwd_kernel_z(
     state_ref[...] = state
 
     ycore = y_scr[...] + d_ref[...].astype(jnp.float32)[None] * u
-    zf = _mask0(mask, z_ref[...].astype(jnp.float32))
+    zf = z_ref[...].astype(jnp.float32)
     out_ref[...] = (ycore * _silu(zf)).astype(out_ref.dtype)
 
 
@@ -204,7 +226,7 @@ def _pick_b_tile(bsz: int, l_chunk: int, d_block: int, n_pad: int,
 
 
 def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
-                d_block, l_chunk, interpret, b_tile=None):
+                d_block, l_chunk, interpret, b_tile=None, inline_decay=True):
     bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
     d_block = _pick_d_block(d, d_block)  # d_block arg is the *target*
@@ -246,7 +268,7 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
 
     kernel = functools.partial(
         _fwd_kernel_z, l_chunk=l_chunk, reverse=reverse,
-        save_states=save_states, seq_len=seq_len)
+        save_states=save_states, seq_len=seq_len, inline_decay=inline_decay)
 
     flops_per_el = 10
     cost = pl.CostEstimate(
@@ -255,6 +277,8 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
         transcendentals=bsz * seq_len * d * n_pad,
     )
 
+    a_shape = ((b_tile, l_chunk, d_block) if inline_decay
+               else (b_tile, l_chunk, n_pad, d_block))
     out, xb = pl.pallas_call(
         kernel,
         grid=(n_d, n_b, n_l),
@@ -264,7 +288,7 @@ def _fwd_pallas(u, delta, a_t, bm, cm, dsk, bias, z, *, reverse, save_states,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32),   # state
-            pltpu.VMEM((b_tile, l_chunk, n_pad, d_block), jnp.float32),  # a
+            pltpu.VMEM(a_shape, jnp.float32),         # decay or dt·log2e
             pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32),  # y
             pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32),  # dt*u
             pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32),   # B masked
@@ -1045,12 +1069,13 @@ _FWD_KINDS = ["seq", "seq", "at", "bc", "bc", "vec", "vec", "seq"]
 
 @functools.lru_cache(maxsize=None)
 def _get_fwd_op(reverse: bool, save_states: bool, d_block_target: int,
-                l_chunk: int, interpret: bool, b_tile):
+                l_chunk: int, interpret: bool, b_tile,
+                inline_decay: bool = True):
     def fun(u, delta, a_t, bm, cm, dsk, bias, z):
         out, xb = _fwd_pallas(
             u, delta, a_t, bm, cm, dsk, bias, z, reverse=reverse,
             save_states=save_states, d_block=d_block_target, l_chunk=l_chunk,
-            interpret=interpret, b_tile=b_tile)
+            interpret=interpret, b_tile=b_tile, inline_decay=inline_decay)
         return (out, xb) if save_states else out
 
     if not _partition_enabled():
@@ -1134,14 +1159,18 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         up, dp, a_t, bp, cp, dsk, bias, zp, dbt, l_chunk, l, _ = _prep(
             u, delta, A, B, C, D, z, delta_bias,
             d_block_target, l_chunk_target)
-        op = _get_fwd_op(reverse, False, dbt, l_chunk, interpret, b_tile)
+        inline = _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
+        op = _get_fwd_op(reverse, False, dbt, l_chunk, interpret, b_tile,
+                         inline)
         return op(up, dp, a_t, bp, cp, dsk, bias, zp)
 
     def scan_fwd(u, delta, A, B, C, D, z, delta_bias):
         up, dp, a_t, bp, cp, dsk, bias, zp, dbt, l_chunk, l, _ = _prep(
             u, delta, A, B, C, D, z, delta_bias,
             d_block_target, l_chunk_target)
-        op = _get_fwd_op(reverse, True, dbt, l_chunk, interpret, b_tile)
+        inline = _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
+        op = _get_fwd_op(reverse, True, dbt, l_chunk, interpret, b_tile,
+                         inline)
         out, xb = op(up, dp, a_t, bp, cp, dsk, bias, zp)
         res = (up, dp, a_t, bp, cp, dsk, bias, zp, xb, dbt, l_chunk, l,
                A.shape[1], delta_bias is not None)
@@ -1253,18 +1282,25 @@ def _fwd_kernel_dual(
         xbr_ref[...] = stater_ref[...][:, None]
 
     n_l = pl.num_programs(2)
-    # Forward branch walks chunks left-to-right, reverse branch right-to-left;
-    # each gets its own overhang mask (see _fwd_kernel_z for why every loaded
-    # per-position tensor is masked, not just dt).
-    mf = _pos_mask(l, l_chunk, seq_len, uf_ref.shape)
+    # Forward branch walks chunks left-to-right, reverse branch right-to-left.
+    # Overhang masking is needed ONLY on the recurrence inputs (dt, u, B) of
+    # the REVERSE branch: it processes the overhang chunk FIRST, and within
+    # it the invalid tail steps first, so garbage (possibly NaN/inf) there
+    # would poison the state carried into every valid chunk. Masking dt=0,
+    # dt·u=0, B=0 makes those steps exact pass-throughs. The FORWARD branch
+    # meets the overhang chunk LAST and its invalid steps come after every
+    # valid step, so garbage can only reach state that dies with the chunk
+    # and output rows Pallas discards — no masks needed. Likewise C and z
+    # are read per valid row only (the y contraction is per-step and invalid
+    # y/out rows are discarded), so they stay unmasked in both branches.
+    # Each skipped mask was a full-chunk lax.select pass per grid step.
     mr = _pos_mask(n_l - 1 - l, l_chunk, seq_len, ur_ref.shape)
-    uf = _mask0(mf, uf_ref[...].astype(jnp.float32))  # (b_t,L_c,d_b)
+    uf = uf_ref[...].astype(jnp.float32)              # (b_t,L_c,d_b)
     ur = _mask0(mr, ur_ref[...].astype(jnp.float32))
     dtf = _softplus(df_ref[...].astype(jnp.float32)
                           + biasf_ref[...].astype(jnp.float32)[None])
     dtr = _softplus(dr_ref[...].astype(jnp.float32)
                           + biasr_ref[...].astype(jnp.float32)[None])
-    dtf = _mask0(mf, dtf)
     dtr = _mask0(mr, dtr)
 
     # exp(dt·A) as exp2((dt·log2e)·A): folding log2(e) into the (L_c, d_b)
@@ -1296,7 +1332,7 @@ def _fwd_kernel_dual(
     # Mosaic supports dynamic indexing on refs, not on values.
     dtuf_scr[...] = dtf * uf
     dtur_scr[...] = dtr * ur
-    bfm_scr[...] = _mask0(mf, bf_ref[...].astype(jnp.float32))
+    bfm_scr[...] = bf_ref[...].astype(jnp.float32)
     brm_scr[...] = _mask0(mr, br_ref[...].astype(jnp.float32))
 
     if fuse_y:
@@ -1306,8 +1342,8 @@ def _fwd_kernel_dual(
         # the masked C chunks). The reduction is off the carry path, so the
         # unrolled chains still overlap.
         cfm_scr, crm_scr = extra_scr
-        cfm_scr[...] = _mask0(mf, cf_ref[...].astype(jnp.float32))
-        crm_scr[...] = _mask0(mr, cr_ref[...].astype(jnp.float32))
+        cfm_scr[...] = cf_ref[...].astype(jnp.float32)
+        crm_scr[...] = cr_ref[...].astype(jnp.float32)
 
         def body(i, carry):
             xf, xr = carry
@@ -1351,14 +1387,14 @@ def _fwd_kernel_dual(
         statef_ref[...] = statef
         stater_ref[...] = stater
 
-        cf = _mask0(mf, cf_ref[...].astype(jnp.float32))
-        cr = _mask0(mr, cr_ref[...].astype(jnp.float32))
+        cf = cf_ref[...].astype(jnp.float32)
+        cr = cr_ref[...].astype(jnp.float32)
         yf = jnp.sum(xf_scr[...] * cf[:, :, :, None], axis=2)
         yr = jnp.sum(xr_scr[...] * cr[:, :, :, None], axis=2)
     ycf = yf + dskf_ref[...].astype(jnp.float32)[None] * uf
     ycr = yr + dskr_ref[...].astype(jnp.float32)[None] * ur
-    zff = _mask0(mf, zf_ref[...].astype(jnp.float32))
-    zrr = _mask0(mr, zr_ref[...].astype(jnp.float32))
+    zff = zf_ref[...].astype(jnp.float32)
+    zrr = zr_ref[...].astype(jnp.float32)
     outf_ref[...] = (ycf * _silu(zff)).astype(outf_ref.dtype)
     outr_ref[...] = (ycr * _silu(zrr)).astype(outr_ref.dtype)
 
