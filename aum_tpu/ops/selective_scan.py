@@ -1149,6 +1149,24 @@ def _get_dual_fwd_op(save_states: bool, d_block_target: int, l_chunk: int,
         ["seq", "seq", "xb", "xb"] if save_states else ["seq", "seq"])
 
 
+def _train_l_target(l_chunk_target: int) -> int:
+    """Chunk target for the differentiated (training) forward.
+
+    The training path may chunk differently from inference: the custom_vjp
+    primal (eval) and fwd rule (train) are separate programs and the
+    backward reads its chunk size from the residuals, so the two stay
+    self-consistent. A smaller train chunk buys a much wider backward
+    d-tile (l=40 -> 640 vs l=104 -> 256, via the ~8.4-buffer-equivalent
+    VMEM budget), but MEASURED NEUTRAL on v5e: back-to-back B=12 base
+    train steps put chunk-40 and chunk-104 long-chain times within 0.1%
+    (an initial -5% reading was dispatch noise in the short chain — the
+    wider backward tile and the worse forward chunking cancel). Default is
+    therefore the shared target; AUM_SCAN_LCHUNK_TRAIN opts in to a
+    train-specific chunk for experiments.
+    """
+    return _env_int("AUM_SCAN_LCHUNK_TRAIN", l_chunk_target)
+
+
 @functools.cache
 def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
                interpret: bool, b_tile):
@@ -1167,7 +1185,7 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
     def scan_fwd(u, delta, A, B, C, D, z, delta_bias):
         up, dp, a_t, bp, cp, dsk, bias, zp, dbt, l_chunk, l, _ = _prep(
             u, delta, A, B, C, D, z, delta_bias,
-            d_block_target, l_chunk_target)
+            d_block_target, _train_l_target(l_chunk_target))
         inline = _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
         op = _get_fwd_op(reverse, True, dbt, l_chunk, interpret, b_tile,
                          inline)
@@ -1526,18 +1544,19 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
     checkpointed adjoint passes (one per direction)."""
 
     def prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
-                  ur, dr, ar, br, cr, dskr, zr, biasr):
+                  ur, dr, ar, br, cr, dskr, zr, biasr, l_target):
         pf = _prep(uf, df, af, bf, cf, dskf, zf, biasf,
-                   d_block_target, l_chunk_target)
+                   d_block_target, l_target)
         pr = _prep(ur, dr, ar, br, cr, dskr, zr, biasr,
-                   d_block_target, l_chunk_target)
+                   d_block_target, l_target)
         return pf, pr
 
     @jax.custom_vjp
     def dual(uf, df, af, bf, cf, dskf, zf, biasf,
              ur, dr, ar, br, cr, dskr, zr, biasr):
         pf, pr = prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
-                           ur, dr, ar, br, cr, dskr, zr, biasr)
+                           ur, dr, ar, br, cr, dskr, zr, biasr,
+                           l_chunk_target)
         (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
          dbt, l_chunk, l, _) = pf
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr, *_rest) = pr
@@ -1552,7 +1571,8 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
     def dual_fwd(uf, df, af, bf, cf, dskf, zf, biasf,
                  ur, dr, ar, br, cr, dskr, zr, biasr):
         pf, pr = prep_both(uf, df, af, bf, cf, dskf, zf, biasf,
-                           ur, dr, ar, br, cr, dskr, zr, biasr)
+                           ur, dr, ar, br, cr, dskr, zr, biasr,
+                           _train_l_target(l_chunk_target))
         (upf, dpf, atf, bpf, cpf, dskpf, biaspf, zpf,
          dbt, l_chunk, l, nf) = pf
         (upr, dpr, atr, bpr, cpr, dskpr, biaspr, zpr,
