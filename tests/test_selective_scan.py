@@ -91,6 +91,42 @@ def test_fallback_no_z():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+def test_kernel_no_softplus():
+    """delta_softplus=False now runs on the kernel path (softplus is hoisted
+    out of the kernels entirely — see _prep); fwd and grads must match."""
+    u, delta, A, B, C, D, z, _ = _make_inputs(jax.random.PRNGKey(5))
+    dpos = jnp.abs(delta) + 0.05  # positive dt, as a raw-dt caller would use
+
+    def loss_k(dpos):
+        return jnp.sum(jnp.sin(selective_scan(
+            u, dpos, A, B, C, D, z, None, delta_softplus=False,
+            use_kernel=True, d_block=8, l_chunk=16)))
+
+    def loss_r(dpos):
+        return jnp.sum(jnp.sin(selective_scan_ref(
+            u, dpos, A, B, C, D, z, None, delta_softplus=False)))
+
+    np.testing.assert_allclose(float(loss_k(dpos)), float(loss_r(dpos)),
+                               rtol=1e-5)
+    gk = jax.grad(loss_k)(dpos)
+    gr = jax.grad(loss_r)(dpos)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_choose_l_fallback_is_8_aligned():
+    """Env-knob chunk targets that defeat the divisor search must still
+    yield Mosaic-legal (8-aligned) chunks (regression: target 52 at L=513
+    used to return chunk 52 → lowering rejects the block shape)."""
+    from aum_tpu.ops.selective_scan import _choose_l
+
+    for l in (513, 127, 1000):
+        for target in (52, 20, 60, 100):
+            pad, c = _choose_l(l, target)
+            assert c % 8 == 0, (l, target, c)
+            assert pad % c == 0 and pad >= l, (l, target, pad, c)
+
+
 @pytest.mark.parametrize("shared", [True, False])
 def test_dual_scan_matches_two_single_scans(shared):
     from aum_tpu.ops.selective_scan import selective_scan_dual
