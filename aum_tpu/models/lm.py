@@ -182,6 +182,64 @@ def init_decode_state(cfg: MambaLMConfig, batch: int):
     }
 
 
+def prefill(params, cfg: MambaLMConfig, input_ids: jax.Array):
+    """Parallel prompt processing: one fused-scan forward per layer builds
+    the decode caches (SSM state via the scan's final-state port, conv
+    cache from the last d_conv pre-conv activations) and returns the
+    last-position logits. Replaces O(L) sequential decode_step calls with
+    one parallel pass — the reference allocates inference caches and decodes
+    the prompt stepwise (generation.py:107-227, mamba_simple.py:360-372);
+    the state-carrying Pallas scan makes the parallel form exact.
+
+    Returns (logits (B, V), decode state as in init_decode_state).
+    """
+    p = params["params"]
+    dtype = jnp.dtype(cfg.dtype)
+    emb = p["embedding"]
+    lp = {k: p[k] for k in (
+        "norm_weight", "in_proj_x", "in_proj_z", "conv_w", "conv_b",
+        "x_proj", "dt_w", "dt_b", "A_log", "D", "out_proj")}
+
+    bsz, l = input_ids.shape
+    kpad = max(cfg.d_conv - l, 0)
+    hidden = emb[input_ids].astype(dtype)
+    residual = jnp.zeros(hidden.shape, jnp.float32)
+
+    def body(carry, layer):
+        h, res = carry
+        normed, res = fused_add_norm(h, layer["norm_weight"].astype(dtype),
+                                     residual=res, eps=cfg.norm_epsilon)
+        xs = normed @ layer["in_proj_x"].astype(dtype)
+        z = normed @ layer["in_proj_z"].astype(dtype)
+        xc = causal_conv1d(xs, layer["conv_w"].astype(dtype),
+                           layer["conv_b"].astype(dtype))
+        x_dbl = xc @ layer["x_proj"].astype(dtype)
+        r, n = cfg.dt_rank, cfg.d_state
+        dt = x_dbl[..., :r] @ layer["dt_w"].astype(dtype)
+        bm, cm = x_dbl[..., r:r + n], x_dbl[..., r + n:]
+        a = -jnp.exp(layer["A_log"].astype(jnp.float32))
+        y, ssm_state = selective_scan(
+            xc, dt, a, bm, cm, layer["D"], z=z, delta_bias=layer["dt_b"],
+            delta_softplus=True, use_kernel=cfg.use_kernel,
+            return_final_state=True)
+        # Conv cache = last d_conv pre-conv inputs, oldest first
+        # (causal_conv1d_update's rolling-window layout).
+        tail = xs[:, l - (cfg.d_conv - kpad):].astype(jnp.float32)
+        if kpad:
+            tail = jnp.pad(tail, [(0, 0), (kpad, 0), (0, 0)])
+        conv_state = jnp.swapaxes(tail, 1, 2)          # (B, D, K)
+        h = y.astype(dtype) @ layer["out_proj"].astype(dtype)
+        return (h, res), (conv_state, ssm_state)
+
+    (hidden, residual), (conv, ssm) = jax.lax.scan(
+        body, (hidden, residual), lp)
+    out = fused_add_norm(hidden, p["norm_f_weight"].astype(dtype),
+                         residual=residual, prenorm=False,
+                         eps=cfg.norm_epsilon)
+    logits = out[:, -1].astype(dtype) @ emb.T.astype(dtype)
+    return logits, {"conv": conv, "ssm": ssm}
+
+
 def decode_step(params, cfg: MambaLMConfig, token: jax.Array, state):
     """One-token step: (B,) int tokens + caches -> (logits (B, V), caches)."""
     p = params["params"]
@@ -274,16 +332,12 @@ def generate(
     (B, L + max_new_tokens) token ids."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    model = MambaLM(cfg)
     bsz, l = input_ids.shape
 
-    # Prefill: full forward for last-position logits, then rebuild the decode
-    # caches by stepping through the prompt (simple and compile-once).
-    state = init_decode_state(cfg, bsz)
+    # Parallel prefill: one fused-scan forward builds the decode caches and
+    # the last-position logits (vs the reference's stepwise prompt decode).
+    logits, state = jax.jit(partial(prefill, params, cfg))(input_ids)
     step = jax.jit(partial(decode_step, params, cfg))
-    logits = None
-    for t in range(l):
-        logits, state = step(input_ids[:, t], state)
 
     tokens = [input_ids]
     prev = input_ids

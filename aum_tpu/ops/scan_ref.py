@@ -38,6 +38,7 @@ def selective_scan_ref(
     delta_softplus: bool = False,
     reverse: bool = False,
     return_last_state: bool = False,
+    initial_state: jax.Array | None = None,
 ):
     """Sequential selective-scan oracle.
 
@@ -53,6 +54,7 @@ def selective_scan_ref(
       delta_softplus: apply softplus to delta (+bias).
       reverse: scan right-to-left instead of left-to-right.
       return_last_state: also return final state (B, D, N).
+      initial_state: (B, D, N) state to start the scan from (default zeros).
 
     Returns:
       out (B, L, D) in u.dtype, and optionally the last fp32 state (B, D, N).
@@ -81,7 +83,8 @@ def selective_scan_ref(
         y = jnp.einsum("bdn,bn->bd", x, c_t)
         return x, y
 
-    x0 = jnp.zeros((bsz, d, n), dtype=jnp.float32)
+    x0 = (jnp.zeros((bsz, d, n), dtype=jnp.float32)
+          if initial_state is None else initial_state.astype(jnp.float32))
     xs = (
         jnp.swapaxes(u, 0, 1),
         jnp.swapaxes(delta, 0, 1),

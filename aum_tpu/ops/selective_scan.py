@@ -109,13 +109,19 @@ def _silu(x):
 
 
 def _fwd_kernel_z(
-    u_ref, dt_ref, at_ref, b_ref, c_ref, d_ref, z_ref,
-    out_ref, xb_ref,
-    state_ref, a_scr, y_scr, dtu_scr, bm_scr, cm_scr,
-    *, l_chunk: int, reverse: bool, save_states: bool, seq_len: int,
-    inline_decay: bool = False,
+    *refs,
+    l_chunk: int, reverse: bool, save_states: bool, seq_len: int,
+    inline_decay: bool = False, with_state: bool = False,
 ):
     """Forward kernel with fused D-skip and SiLU(z) gating.
+
+    with_state=True adds an initial-state input x0 (the scan starts from it
+    instead of zeros) and a final-state output (the carry at the last valid
+    position) — the building block for sequence-parallel scans (chunk-
+    boundary carries exchanged across a 'seq' mesh axis) and chunked LM
+    prefill. In that mode the recurrence inputs are overhang-masked in BOTH
+    directions: a forward scan meets the overhang chunk last, and with a
+    live final-state output the garbage would no longer die with the chunk.
 
     dt arrives PRE-ACTIVATED: softplus(delta + bias) is computed by XLA in
     the wrapper (_prep), where it fuses into the dt_proj matmul epilogue
@@ -143,11 +149,22 @@ def _fwd_kernel_z(
     round-trips through scratch), and exp goes through exp2 with log2(e)
     folded into the (L_c, d_b) dt factor.
     """
+    n_in = 8 if with_state else 7
+    (u_ref, dt_ref, at_ref, b_ref, c_ref, d_ref, z_ref) = refs[:7]
+    x0_ref = refs[7] if with_state else None
+    out_ref, xb_ref = refs[n_in:n_in + 2]
+    xfin_ref = refs[n_in + 2] if with_state else None
+    state_ref, a_scr, y_scr, dtu_scr, bm_scr, cm_scr = refs[n_in + 2
+                                                           + with_state:]
+
     l = pl.program_id(2)
 
     @pl.when(l == 0)
     def _():
-        state_ref[...] = jnp.zeros_like(state_ref)
+        if with_state:
+            state_ref[...] = x0_ref[...].astype(jnp.float32)
+        else:
+            state_ref[...] = jnp.zeros_like(state_ref)
 
     if save_states:
         xb_ref[...] = state_ref[...][:, None]
@@ -158,17 +175,20 @@ def _fwd_kernel_z(
     # poison the carried state. Forward scans meet the overhang last, so
     # garbage only reaches dying state and discarded output rows (see the
     # fuller argument in _fwd_kernel_dual). Only the recurrence inputs
-    # (dt, u, B) need the mask; C and z feed valid rows only.
-    if reverse:
-        mask = _pos_mask(pl.num_programs(2) - 1 - l, l_chunk, seq_len,
-                         u_ref.shape)
+    # (dt, u, B) need the mask; C and z feed valid rows only. With a
+    # final-state output the forward scan's carry must survive the overhang
+    # too, so with_state masks both directions.
+    masked = reverse or with_state
+    if masked:
+        lc = (pl.num_programs(2) - 1 - l) if reverse else l
+        mask = _pos_mask(lc, l_chunk, seq_len, u_ref.shape)
         u = _mask0(mask, u_ref[...].astype(jnp.float32))  # (b_t,L_c,d_b)
     else:
         u = u_ref[...].astype(jnp.float32)
     a_t = at_ref[...].astype(jnp.float32)       # (N, d_b)
 
     dt = dt_ref[...].astype(jnp.float32)        # pre-activated (see docstring)
-    if reverse:
+    if masked:
         dt = _mask0(mask, dt)
 
     _LOG2E = 1.4426950408889634
@@ -181,7 +201,7 @@ def _fwd_kernel_z(
             (dt * _LOG2E)[:, :, None, :] * a_t[None, None, :, :])
     dtu_scr[...] = dt * u
     bm = b_ref[...].astype(jnp.float32)
-    bm_scr[...] = _mask0(mask, bm) if reverse else bm
+    bm_scr[...] = _mask0(mask, bm) if masked else bm
     cm_scr[...] = c_ref[...].astype(jnp.float32)
 
     def body(i, x):
@@ -198,6 +218,11 @@ def _fwd_kernel_z(
     state = jax.lax.fori_loop(0, l_chunk, body, state_ref[...],
                               unroll=l_chunk)
     state_ref[...] = state
+    if with_state:
+        # Every grid step writes its carry; the sequentially-last write (the
+        # final processed chunk, whose overhang steps are masked to exact
+        # pass-throughs) is the one that lands in HBM.
+        xfin_ref[...] = state
 
     ycore = y_scr[...] + d_ref[...].astype(jnp.float32)[None] * u
     zf = z_ref[...].astype(jnp.float32)
@@ -234,8 +259,9 @@ def _pick_b_tile(bsz: int, l_chunk: int, d_block: int, n_pad: int,
     return bt
 
 
-def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, *, reverse, save_states,
+def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, x0=None, *, reverse, save_states,
                 d_block, l_chunk, interpret, b_tile=None, inline_decay=True):
+    with_state = x0 is not None
     bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
     d_block = _pick_d_block(d, d_block)  # d_block arg is the *target*
@@ -259,6 +285,10 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, *, reverse, save_states,
     vec_spec = pl.BlockSpec(
         (1, d_block), lambda di, bi, li: (0, di), memory_space=pltpu.VMEM)
 
+    state_spec = pl.BlockSpec(
+        (b_tile, n_pad, d_block), lambda di, bi, li: (bi, 0, di),
+        memory_space=pltpu.VMEM)
+
     out_shapes = [jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype)]
     out_specs = [seq_spec]
     if save_states:
@@ -274,10 +304,15 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, *, reverse, save_states,
         out_specs.append(pl.BlockSpec(
             (b_tile, 1, n_pad, d_block), lambda di, bi, li: (0, 0, 0, di),
             memory_space=pltpu.VMEM))
+    if with_state:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bsz, n_pad, d), jnp.float32))  # final state
+        out_specs.append(state_spec)
 
     kernel = functools.partial(
         _fwd_kernel_z, l_chunk=l_chunk, reverse=reverse,
-        save_states=save_states, seq_len=seq_len, inline_decay=inline_decay)
+        save_states=save_states, seq_len=seq_len, inline_decay=inline_decay,
+        with_state=with_state)
 
     flops_per_el = 10
     cost = pl.CostEstimate(
@@ -288,11 +323,16 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, *, reverse, save_states,
 
     a_shape = ((b_tile, l_chunk, d_block) if inline_decay
                else (b_tile, l_chunk, n_pad, d_block))
-    out, xb = pl.pallas_call(
+    in_specs = [seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
+                seq_spec]
+    args = (u, dt, a_t, bm, cm, dsk, z)
+    if with_state:
+        in_specs.append(state_spec)
+        args = args + (x0,)
+    outs = pl.pallas_call(
         kernel,
         grid=(n_d, n_b, n_l),
-        in_specs=[seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
-                  seq_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
@@ -305,7 +345,11 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, *, reverse, save_states,
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(u, dt, a_t, bm, cm, dsk, z)
+    )(*args)
+    if with_state:
+        out, xb, xfin = outs
+        return out, xb, xfin
+    out, xb = outs
     return out, xb
 
 
@@ -315,14 +359,9 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, *, reverse, save_states,
 
 
 def _bwd_kernel(
-    # inputs
-    u_ref, dt_ref, at_ref, b_ref, c_ref, d_ref, z_ref,
-    g_ref, xb_ref,
-    # outputs
-    du_ref, ddelta_ref, dz_ref, dat_ref, dd_ref, dbias_ref, dbp_ref, dcp_ref,
-    # scratch
-    lam_state, a_scr, x_scr, lam_scr, tmp_scr,
-    *, l_chunk: int, reverse: bool, seq_len: int, softplus: bool = True,
+    *refs,
+    l_chunk: int, reverse: bool, seq_len: int, softplus: bool = True,
+    with_state: bool = False,
 ):
     # dt arrives pre-activated (see _fwd_kernel_z): the softplus chain rule
     # is applied IN-KERNEL from dt alone via sigmoid(delta + bias) =
@@ -332,6 +371,21 @@ def _bwd_kernel(
     # the B=12 train step). Note exp(-0) - ... = 0 on masked overhang rows,
     # which keeps dbias's accumulation overhang-safe exactly like the old
     # masked-sigmoid formulation.
+    #
+    # with_state adds a gfin input (cotangent of the forward's final-state
+    # output — it seeds the adjoint carry lam exactly where a state beyond
+    # the last position would inject it) and a dx0 output (the adjoint
+    # carry after the first logical position, i.e. dL/dx0; written every
+    # grid step, sequentially-last write wins).
+    n_in = 10 if with_state else 9
+    (u_ref, dt_ref, at_ref, b_ref, c_ref, d_ref, z_ref,
+     g_ref, xb_ref) = refs[:9]
+    gfin_ref = refs[9] if with_state else None
+    (du_ref, ddelta_ref, dz_ref, dat_ref, dd_ref, dbias_ref,
+     dbp_ref, dcp_ref) = refs[n_in:n_in + 8]
+    dx0_ref = refs[n_in + 8] if with_state else None
+    lam_state, a_scr, x_scr, lam_scr, tmp_scr = refs[n_in + 8 + with_state:]
+
     di = pl.program_id(0)
     bi = pl.program_id(1)
     l = pl.program_id(2)
@@ -344,7 +398,10 @@ def _bwd_kernel(
 
     @pl.when(l == 0)
     def _():
-        lam_state[...] = jnp.zeros_like(lam_state)
+        if with_state:
+            lam_state[...] = gfin_ref[...].astype(jnp.float32)
+        else:
+            lam_state[...] = jnp.zeros_like(lam_state)
 
     # Neutralize out-of-range positions (unpadded inputs; see _fwd_kernel_z):
     # every per-position load is masked (overhang bits may be NaN/inf, and
@@ -401,6 +458,10 @@ def _bwd_kernel(
 
     lam_state[...] = jax.lax.fori_loop(
         0, l_chunk, bwd_body, lam_state[...], unroll=l_chunk)
+    if with_state:
+        # After this chunk's adjoint pass, lam_state = dL/d(state at chunk
+        # entry); the sequentially-last grid step's value is dL/dx0.
+        dx0_ref[...] = lam_state[...]
 
     # --- xprev (state one scan-step before t, in logical layout). -----------
     xb0 = xb_ref[:, 0].astype(jnp.float32)[:, None]         # (b_t, 1, N, d_b)
@@ -553,9 +614,12 @@ def _bwd_kernel_fused(
     dbias_ref[...] += db_acc
 
 
-def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, *,
+def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin=None, *,
                 reverse, d_block, l_chunk, interpret, b_tile=None,
                 fused=True, softplus=True):
+    with_state = gfin is not None
+    if with_state:
+        fused = False  # state-carrying path supports the v1 kernel only
     bsz, seq_len, d = u.shape
     n_pad = a_t.shape[0]
     # d_block arg is the *target* (VMEM-budget-capped by the caller); pick
@@ -602,7 +666,12 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, *,
 
     kernel = functools.partial(
         _bwd_kernel_fused if fused else _bwd_kernel,
-        l_chunk=l_chunk, reverse=reverse, seq_len=seq_len, softplus=softplus)
+        l_chunk=l_chunk, reverse=reverse, seq_len=seq_len, softplus=softplus,
+        **({"with_state": True} if with_state else {}))
+
+    state_spec = pl.BlockSpec(
+        (b_tile, n_pad, d_block), lambda di, bi, li: (bi, 0, di),
+        memory_space=pltpu.VMEM)
 
     out_shapes = [
         jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype),      # du
@@ -616,6 +685,15 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, *,
     ]
     out_specs = [seq_spec, seq_spec, seq_spec, at_spec, vec_spec, vec_spec,
                  part_spec, part_spec]
+    in_specs = [seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
+                seq_spec, seq_spec, xb_spec]
+    args = (u, dt, a_t, bm, cm, dsk, z, g, xb)
+    if with_state:
+        in_specs.append(state_spec)
+        args = args + (gfin,)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bsz, n_pad, d), jnp.float32))  # dx0
+        out_specs.append(state_spec)
 
     cost = pl.CostEstimate(
         flops=30 * bsz * seq_len * d * n_pad,
@@ -626,8 +704,7 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, *,
     return pl.pallas_call(
         kernel,
         grid=(n_d, n_b, n_l),
-        in_specs=[seq_spec, seq_spec, at_spec, bc_spec, bc_spec, vec_spec,
-                  seq_spec, seq_spec, xb_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=(
@@ -651,7 +728,7 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, *,
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(u, dt, a_t, bm, cm, dsk, z, g, xb)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -1013,6 +1090,7 @@ _ARG_FACTORS = {
     "at": "n d",         # (N_pad, D) transposed A
     "vec": "o d",        # (1, D) D-skip / delta bias
     "xb": "b c n d",     # (B, n_chunks, N_pad, D) boundary states
+    "state": "b n d",    # (B, N_pad, D) initial/final scan state
     "bc_sum": "b l n",   # output reduced over d  -> psum over model axes
     "at_sum": "n d",     # output reduced over b,l -> psum over data axes
     "vec_sum": "o d",    # output reduced over b,l -> psum over data axes
@@ -1028,6 +1106,7 @@ def _kind_spec(kind: str, b_ax, d_ax):
         "at": P(None, d_ax),
         "vec": P(None, d_ax),
         "xb": P(b_ax, None, None, d_ax),
+        "state": P(b_ax, None, d_ax),
         "bc_sum": P(b_ax, None, None),
         "at_sum": P(None, d_ax),
         "vec_sum": P(None, d_ax),
@@ -1099,7 +1178,22 @@ _FWD_KINDS = ["seq", "seq", "at", "bc", "bc", "vec", "seq"]
 @functools.lru_cache(maxsize=None)
 def _get_fwd_op(reverse: bool, save_states: bool, d_block_target: int,
                 l_chunk: int, interpret: bool, b_tile,
-                inline_decay: bool = True):
+                inline_decay: bool = True, with_state: bool = False):
+    if with_state:
+        def fun(u, dt, a_t, bm, cm, dsk, z, x0):
+            out, xb, xfin = _fwd_pallas(
+                u, dt, a_t, bm, cm, dsk, z, x0, reverse=reverse,
+                save_states=save_states, d_block=d_block_target,
+                l_chunk=l_chunk, interpret=interpret, b_tile=b_tile,
+                inline_decay=inline_decay)
+            return (out, xb, xfin) if save_states else (out, xfin)
+
+        if not _partition_enabled():
+            return fun
+        return _make_partitioned(
+            fun, _FWD_KINDS + ["state"],
+            (["seq", "xb", "state"] if save_states else ["seq", "state"]))
+
     def fun(u, dt, a_t, bm, cm, dsk, z):
         out, xb = _fwd_pallas(
             u, dt, a_t, bm, cm, dsk, z, reverse=reverse,
@@ -1115,7 +1209,24 @@ def _get_fwd_op(reverse: bool, save_states: bool, d_block_target: int,
 
 @functools.lru_cache(maxsize=None)
 def _get_bwd_op(reverse: bool, bwd_target: int, l_chunk: int,
-                interpret: bool, fused: bool = True, softplus: bool = True):
+                interpret: bool, fused: bool = True, softplus: bool = True,
+                with_state: bool = False):
+    if with_state:
+        def fun(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin):
+            du, ddelta, dz, dat, dd, dbias, dbp, dcp, dx0 = _bwd_pallas(
+                u, dt, a_t, bm, cm, dsk, z, g, xb, gfin, reverse=reverse,
+                d_block=bwd_target, l_chunk=l_chunk, interpret=interpret,
+                fused=False, softplus=softplus)
+            return (du, ddelta, dz, dat, dd, dbias,
+                    jnp.sum(dbp, axis=0), jnp.sum(dcp, axis=0), dx0)
+
+        if not _partition_enabled():
+            return fun
+        return _make_partitioned(
+            fun, _FWD_KINDS + ["seq", "xb", "state"],
+            ["seq", "seq", "seq", "at_sum", "vec_sum", "vec_sum",
+             "bc_sum", "bc_sum", "state"])
+
     def fun(u, dt, a_t, bm, cm, dsk, z, g, xb):
         du, ddelta, dz, dat, dd, dbias, dbp, dcp = _bwd_pallas(
             u, dt, a_t, bm, cm, dsk, z, g, xb, reverse=reverse,
@@ -1256,6 +1367,80 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
     return scan
 
 
+@functools.cache
+def _make_scan_x0(reverse: bool, d_block_target: int, l_chunk_target: int,
+                  interpret: bool, b_tile, softplus: bool = True):
+    """custom-VJP scan with an initial-state input and final-state output.
+
+    State layout at this boundary is the reference's (B, D, N)
+    (selective_scan_interface.py:86-152 return_last_state); the kernels run
+    (B, N_pad, D) internally, so the wrapper transposes/pads on the way in
+    and out. The backward seeds the adjoint carry from the final state's
+    cotangent and emits dL/dx0 — so autodiff composes across chained or
+    sequence-sharded scan segments.
+    """
+
+    def _to_kernel(x, n, n_pad):  # (B, D, N) -> (B, N_pad, D) fp32
+        xk = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+        if n_pad != n:
+            xk = jnp.pad(xk, [(0, 0), (0, n_pad - n), (0, 0)])
+        return xk
+
+    def _from_kernel(xk, n):  # (B, N_pad, D) -> (B, D, N) fp32
+        return jnp.swapaxes(xk[:, :n], 1, 2)
+
+    @jax.custom_vjp
+    def scan(u, delta, A, B, C, D, z, delta_bias, x0):
+        n = A.shape[1]
+        up, dtp, a_t, bp, cp, dsk, zp, dbt, l_chunk, l, _ = _prep(
+            u, delta, A, B, C, D, z, delta_bias,
+            d_block_target, l_chunk_target, softplus)
+        inline = _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
+        op = _get_fwd_op(reverse, False, dbt, l_chunk, interpret, b_tile,
+                         inline, True)
+        out, xfin = op(up, dtp, a_t, bp, cp, dsk, zp,
+                       _to_kernel(x0, n, a_t.shape[0]))
+        return out, _from_kernel(xfin, n)
+
+    def scan_fwd(u, delta, A, B, C, D, z, delta_bias, x0):
+        n = A.shape[1]
+        up, dtp, a_t, bp, cp, dsk, zp, dbt, l_chunk, l, _ = _prep(
+            u, delta, A, B, C, D, z, delta_bias,
+            d_block_target, _train_l_target(l_chunk_target), softplus)
+        inline = _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
+        op = _get_fwd_op(reverse, True, dbt, l_chunk, interpret, b_tile,
+                         inline, True)
+        out, xb, xfin = op(up, dtp, a_t, bp, cp, dsk, zp,
+                           _to_kernel(x0, n, a_t.shape[0]))
+        res = (up, dtp, a_t, bp, cp, dsk, zp, xb, dbt, l_chunk, n,
+               delta_bias is not None)
+        return (out, _from_kernel(xfin, n)), res
+
+    def scan_bwd(res, gouts):
+        (up, dtp, a_t, bp, cp, dsk, zp, xb, dbt, l_chunk, n,
+         has_bias) = res
+        gout, gfin = gouts
+        n_pad = a_t.shape[0]
+        eq = 8.4  # v1 kernel buffer-equivalents (see scan_bwd above)
+        budget = int(15.5 * 2**20 / (eq * l_chunk * n_pad * 4))
+        bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
+                              min(dbt, max(128, (budget // 128) * 128)))
+        op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, False,
+                         softplus, True)
+        du, ddelta, dz, dat, dd, dbias, dbsum, dcsum, dx0 = op(
+            up, dtp, a_t, bp, cp, dsk, zp, gout, xb,
+            _to_kernel(gfin, n, n_pad))
+        dA = jnp.swapaxes(dat, 0, 1)[:, :n]
+        dB = dbsum[..., :n].astype(bp.dtype)
+        dC = dcsum[..., :n].astype(cp.dtype)
+        ddb = dbias[0] if has_bias else None
+        return (du, ddelta, dA, dB, dC, dd[0], dz, ddb,
+                _from_kernel(dx0, n))
+
+    scan.defvjp(scan_fwd, scan_bwd)
+    return scan
+
+
 def selective_scan(
     u: jax.Array,
     delta: jax.Array,
@@ -1272,7 +1457,9 @@ def selective_scan(
     use_kernel: bool | None = None,
     interpret: bool | None = None,
     b_tile: int | None = None,
-) -> jax.Array:
+    initial_state: jax.Array | None = None,
+    return_final_state: bool = False,
+):
     """Fused selective scan. See ``selective_scan_ref`` for semantics.
 
     The Pallas kernel path requires both D and z (the configuration the AuM
@@ -1280,19 +1467,36 @@ def selective_scan(
     handled outside the kernel — see ``_prep``); other combinations fall
     back to the jnp oracle, which XLA still compiles to a reasonable
     sequential scan.
+
+    ``initial_state`` (B, D_model, N) starts the recurrence from a carried
+    state instead of zeros, and ``return_final_state=True`` additionally
+    returns the (B, D_model, N) fp32 state at the scan's last position
+    (reference: selective_scan_fn's return_last_state,
+    selective_scan_interface.py:86-152). Together they let scans chain
+    exactly — the building block for chunked LM prefill and the
+    sequence-parallel scan (aum_tpu.ops.seq_parallel).
     """
     if use_kernel is None:
         use_kernel = D is not None and z is not None
     if not use_kernel:
         return selective_scan_ref(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,
-            reverse=reverse)
+            reverse=reverse, initial_state=initial_state,
+            return_last_state=return_final_state)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    scan = _make_scan(bool(reverse), d_block, l_chunk, bool(interpret),
-                      b_tile, bool(delta_softplus))
     if delta_bias is None:
         delta_bias = jnp.zeros((u.shape[-1],), jnp.float32)
+    if initial_state is not None or return_final_state:
+        scan = _make_scan_x0(bool(reverse), d_block, l_chunk,
+                             bool(interpret), b_tile, bool(delta_softplus))
+        if initial_state is None:
+            initial_state = jnp.zeros(
+                (u.shape[0], u.shape[-1], A.shape[1]), jnp.float32)
+        out, xfin = scan(u, delta, A, B, C, D, z, delta_bias, initial_state)
+        return (out, xfin) if return_final_state else out
+    scan = _make_scan(bool(reverse), d_block, l_chunk, bool(interpret),
+                      b_tile, bool(delta_softplus))
     return scan(u, delta, A, B, C, D, z, delta_bias)
 
 

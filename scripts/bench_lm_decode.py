@@ -55,6 +55,42 @@ def main():
     print(f"LM decode (d_model=768, 24 layers, B={bsz}): "
           f"{per * 1e3:.2f} ms/token-step -> {bsz / per:.0f} tokens/s/chip")
 
+    # Parallel prefill (fused-scan final-state port, models/lm.py prefill):
+    # same chained harness over whole-prompt prefills. Measured 2026-08:
+    # 12.2 ms for B=8 x L=512 (335k tok/s/chip) vs 215 ms stepwise at the
+    # 0.42 ms/token decode rate above -> ~18x.
+    from aum_tpu.models.lm import prefill
+    l = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    ids = jax.random.randint(jax.random.PRNGKey(1), (bsz, l), 0,
+                             cfg.vocab_size)
+
+    def chained_prefill(n):
+        @jax.jit
+        def f(params, ids):
+            def body(_, ids):
+                logits, st = prefill(params, cfg, ids)
+                bump = (jnp.argmax(logits, -1)[:, None] * 0).astype(ids.dtype)
+                return ids + bump + (jnp.sum(st["ssm"]) * 1e-20).astype(
+                    ids.dtype)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, ids))
+        return f
+
+    times = {}
+    for n in (2, 6):
+        fn = chained_prefill(n)
+        float(fn(params, ids + n))
+        best = None
+        for rep in range(2):
+            t0 = time.perf_counter()
+            float(fn(params, ids + 10 + rep + n))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[n] = best
+    per = (times[6] - times[2]) / 4
+    print(f"LM parallel prefill (B={bsz}, L={l}): {per * 1e3:.2f} ms "
+          f"-> {bsz * l / per:.0f} tokens/s/chip "
+          f"(stepwise would be ~{l * 0.42:.0f} ms)")
+
 
 if __name__ == "__main__":
     main()

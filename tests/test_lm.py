@@ -42,6 +42,30 @@ def test_decode_matches_parallel_forward():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_prefill_matches_stepwise():
+    """Parallel prefill (fused scan final-state port + conv-tail cache) must
+    hand decode exactly the caches that stepping through the prompt would —
+    checked by comparing the NEXT decoded token's logits."""
+    from aum_tpu.models.lm import prefill
+
+    model = MambaLM(CFG)
+    ids = jnp.asarray([[5, 17, 3, 42, 8, 13], [2, 9, 31, 7, 1, 64]])
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    state_sw = init_decode_state(CFG, 2)
+    for t in range(ids.shape[1]):
+        logits_sw, state_sw = decode_step(params, CFG, ids[:, t], state_sw)
+
+    logits_pf, state_pf = prefill(params, CFG, ids)
+    np.testing.assert_allclose(np.asarray(logits_pf), np.asarray(logits_sw),
+                               rtol=2e-4, atol=2e-4)
+    nxt = jnp.argmax(logits_pf, axis=-1)
+    l2_sw, _ = decode_step(params, CFG, nxt, state_sw)
+    l2_pf, _ = decode_step(params, CFG, nxt, state_pf)
+    np.testing.assert_allclose(np.asarray(l2_pf), np.asarray(l2_sw),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_generate_greedy_deterministic():
     model = MambaLM(CFG)
     ids = jnp.asarray([[1, 2, 3]])
