@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--lr", default="2e-3",
+                    help="2e-3 suits tiny/depth-4; base/depth-24 wants ~5e-4")
     args = ap.parse_args()
 
     from aum_tpu.run import main as run_main
@@ -81,7 +83,7 @@ def main():
         "--set", "n_class=8",
         "--set", f"batch_size={args.batch_size}",
         "--set", f"n_epochs={args.epochs}",
-        "--set", "lr=2e-3",
+        "--set", f"lr={args.lr}",
         "--set", "noise=False",
         "--set", "mixup=0.0",
     ])
