@@ -89,11 +89,15 @@ class AudioMambaConfig:
     #       only (hidden, residual) per layer but re-runs the scan forward
     #       inside the backward (~10% of train-step time).
     #   "auto" — "split" when the Pallas kernel path is active AND the
-    #       calibrated HBM estimate fits (measured on v5e: the split-remat
-    #       program needs ~27 bytes per depth*B*L*d_inner element at bf16 —
-    #       B=32/base hit 16.14G vs 15.75G HBM, 407M over; B<=16 fits with
-    #       headroom), else "block". Budget override: AUM_SPLIT_REMAT_BUDGET
-    #       (bytes).
+    #       calibrated HBM estimate fits, else "block". Calibrated against
+    #       XLA's memory_analysis() of the full train step on v5e
+    #       (scripts/mem_analysis.py, 2026-08-17, B=32/L=513/base/depth 24):
+    #       temp = 14.42 GiB at fp32, 10.59 GiB at bf16 — i.e. ~(3.4 *
+    #       itemsize + 12.0) bytes per depth*B*L*d_inner element (the fixed
+    #       part is the fp32 residual stream, norm inputs, boundary states,
+    #       and backward-loop transients). Args+optimizer state (~2.1 GiB
+    #       at base) sit outside this estimate; the default budget leaves
+    #       room for them. Budget override: AUM_SPLIT_REMAT_BUDGET (bytes).
     remat_mode: str = "auto"
     if_rope: bool = False
     if_rope_residual: bool = False
@@ -273,16 +277,18 @@ class AudioMamba(nn.Module):
             if self.use_kernel is not False:
                 import os as _os
 
-                # Calibrated whole-program estimate for split remat
-                # (v5e measurement: 16.14G at depth 24, B=32, L=513,
-                # d_inner=1536, bf16 -> 27.1 B per element-layer at
-                # itemsize 2; scales ~linearly in each factor).
-                per_unit = 27.0 * (jnp.dtype(dtype).itemsize / 2.0)
+                # Calibrated whole-program temp estimate for split remat
+                # (v5e memory_analysis(): 14.42 GiB fp32 / 10.59 GiB bf16
+                # at depth 24, B=32, L=513, d_inner=1536 -> affine in the
+                # itemsize; see AudioMambaConfig.remat_mode docs).
+                per_unit = 3.4 * jnp.dtype(dtype).itemsize + 12.0
                 # x here is the token sequence (B, L, D), cls included.
                 est = (cfg.depth * x.shape[0] * x.shape[1]
                        * 2 * cfg.embed_dim * per_unit)
+                # 15.75 GB v5e HBM minus ~2.1 GiB args/opt-state minus
+                # headroom for the eval program and fragmentation.
                 budget = float(_os.environ.get(
-                    "AUM_SPLIT_REMAT_BUDGET", 11e9))
+                    "AUM_SPLIT_REMAT_BUDGET", 12.5e9))
                 if est <= budget:
                     remat_mode = "split"
         else:

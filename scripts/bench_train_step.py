@@ -7,8 +7,9 @@ inside one jit with a data dependence, difference of two chain lengths,
 min-of-two runs with fresh inputs, and a host transfer to force completion
 (block_until_ready does not reliably await through the relay).
 
-Usage:  python scripts/bench_train_step.py [batch] [remat_mode]
+Usage:  python scripts/bench_train_step.py [batch] [remat_mode] [dtype]
         remat_mode: auto (default) | split | block | none
+        dtype: bfloat16 (default, = the production ExperimentConfig) | float32
 """
 
 import sys
@@ -29,10 +30,12 @@ from aum_tpu.train.optim import TrainHyperParams, make_optimizer
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     remat_mode = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
     cfg = AudioMambaConfig.from_variant(
         "base", "Fo-Bi", num_classes=527, spectrogram_size=(128, 1024),
-        remat=remat_mode != "none", remat_mode=remat_mode)
+        remat=remat_mode != "none", remat_mode=remat_mode,
+        dtype=dtype)
     model = AudioMamba(cfg)
     mesh = make_mesh(1, 1)
     hp = TrainHyperParams(lr=5e-5, weight_decay=5e-7)

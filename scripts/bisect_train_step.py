@@ -21,7 +21,9 @@ at B=32 the auto remat policy falls back to "block" (split needs ~16.1 GB
 optimizer and guard are negligible — there is no hidden overhead in the
 production step vs plain value_and_grad.
 
-Usage: python scripts/bisect_train_step.py [batch] [remat_mode]
+Usage: python scripts/bisect_train_step.py [batch] [remat_mode] [dtype]
+   dtype defaults to bfloat16 — the production ExperimentConfig dtype.
+   (The measured numbers above are float32: the harness predated the flag.)
 """
 
 import sys
@@ -59,10 +61,12 @@ def timed(make_chain, n_short=2, n_long=6, reps=2):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     remat_mode = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
     cfg = AudioMambaConfig.from_variant(
         "base", "Fo-Bi", num_classes=527, spectrogram_size=(128, 1024),
-        remat=remat_mode != "none", remat_mode=remat_mode)
+        remat=remat_mode != "none", remat_mode=remat_mode,
+        dtype=dtype)
     model = AudioMamba(cfg)
     mesh = make_mesh(1, 1)
     hp = TrainHyperParams(lr=5e-5, weight_decay=5e-7)
@@ -137,7 +141,8 @@ def main():
                      ("grad+opt", make_gradopt), ("step", make_step)):
         per = timed(mk)
         results[name] = per
-        print(f"{name:9s} B={batch} remat={remat_mode}: {per * 1e3:7.1f} ms")
+        print(f"{name:9s} B={batch} remat={remat_mode} {dtype}: "
+              f"{per * 1e3:7.1f} ms")
     print(f"bwd+remat = grad - fwd        = "
           f"{(results['grad'] - results['fwd']) * 1e3:7.1f} ms")
     print(f"optimizer = grad+opt - grad   = "
