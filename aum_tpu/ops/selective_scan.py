@@ -246,6 +246,36 @@ def _mask0(m, x):
     return jax.lax.select(jnp.broadcast_to(m, x.shape), x, jnp.zeros_like(x))
 
 
+_VMEM_LIMIT_DEFAULT = 64 * 2 ** 20
+
+
+def _scoped_vmem_limit() -> int:
+    return int(float(_os.environ.get("AUM_SCAN_VMEM_LIMIT",
+                                     _VMEM_LIMIT_DEFAULT)))
+
+
+def _scoped_vmem_kw(interpret: bool) -> dict:
+    """compiler_params raising Mosaic's scoped-VMEM ceiling.
+
+    Mosaic's stock scoped-VMEM budget (declared scratch + stack
+    temporaries) is 16M — a compiler default, not hardware: v5e has 128M of
+    VMEM. Raising it to 64M unlocks tile shapes the 16M ceiling rejected;
+    the big winner is the backward d-tile, 256 -> 768 at l_chunk 104
+    (measured B=64/L=513 dual fwd+bwd: 24.04 -> 22.25 ms; d-tile 1536 at a
+    96M ceiling regresses to 27.3 ms, and the forward's best tile is
+    unchanged). AUM_SCAN_VMEM_LIMIT (bytes) overrides.
+    """
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=_scoped_vmem_limit())}
+
+
+def _scoped_vmem_budget() -> float:
+    """Effective scoped-VMEM byte budget for kernel tile selection."""
+    return _scoped_vmem_limit() - 0.5 * 2 ** 20
+
+
 def _pick_b_tile(bsz: int, l_chunk: int, d_block: int, n_pad: int,
                  n_bufs: int = 3, budget_bytes: int = 12 * 2 ** 20) -> int:
     """Largest batch tile whose chunk scratch fits the VMEM budget."""
@@ -345,6 +375,7 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, x0=None, *, reverse, save_states,
         ],
         cost_estimate=cost,
         interpret=interpret,
+        **_scoped_vmem_kw(interpret),
     )(*args)
     if with_state:
         out, xb, xfin = outs
@@ -728,6 +759,7 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin=None, *,
         ),
         cost_estimate=cost,
         interpret=interpret,
+        **_scoped_vmem_kw(interpret),
     )(*args)
 
 
@@ -969,6 +1001,7 @@ def _bwd_pallas_dual(args_f, args_r, gf, gr, xbf, xbr, *,
         ),
         cost_estimate=cost,
         interpret=interpret,
+        **_scoped_vmem_kw(interpret),
     )(*args_f, *args_r, gf, gr, xbf, xbr)
     return outs[:8], outs[8:]
 
@@ -1273,12 +1306,12 @@ def _get_dual_bwd_op(bwd_target: int, l_chunk: int, interpret: bool):
 @functools.lru_cache(maxsize=None)
 def _get_dual_fwd_op(save_states: bool, d_block_target: int, l_chunk: int,
                      interpret: bool, fuse_y: bool = True,
-                     inline_decay: bool = False):
+                     inline_decay: bool = False, direct: bool = False):
     def fun(*args14):
         outs = _fwd_pallas_dual(
             args14[:7], args14[7:], save_states=save_states,
             d_block=d_block_target, l_chunk=l_chunk, interpret=interpret,
-            fuse_y=fuse_y, inline_decay=inline_decay)
+            fuse_y=fuse_y, inline_decay=inline_decay, direct=direct)
         outf, outr, xbf, xbr = outs
         return (outf, outr, xbf, xbr) if save_states else (outf, outr)
 
@@ -1350,7 +1383,7 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         n_pad = a_t.shape[0]
         fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
         eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
-        budget = int(15.5 * 2**20 / (eq * l_chunk * n_pad * 4))
+        budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
         op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused,
@@ -1422,7 +1455,7 @@ def _make_scan_x0(reverse: bool, d_block_target: int, l_chunk_target: int,
         gout, gfin = gouts
         n_pad = a_t.shape[0]
         eq = 8.4  # v1 kernel buffer-equivalents (see scan_bwd above)
-        budget = int(15.5 * 2**20 / (eq * l_chunk * n_pad * 4))
+        budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
         op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, False,
@@ -1651,9 +1684,109 @@ def _fwd_kernel_dual(
     outr_ref[...] = (ycr * _silu(zrr)).astype(outr_ref.dtype)
 
 
+def _mask_step(valid, x):
+    """Per-step overhang mask: x where the (dynamic scalar) `valid` else 0.
+
+    lax.select (not multiply) so NaN/inf garbage from overhang reads is
+    killed; primitives-only for the same MLIR-cache reason as _mask0.
+    """
+    return jax.lax.select(jnp.broadcast_to(valid, x.shape), x,
+                          jnp.zeros_like(x))
+
+
+def _fwd_kernel_dual_direct(
+    uf_ref, df_ref, atf_ref, bf_ref, cf_ref, dskf_ref, zf_ref,
+    ur_ref, dr_ref, atr_ref, br_ref, cr_ref, dskr_ref, zr_ref,
+    outf_ref, outr_ref, xbf_ref, xbr_ref,
+    statef_ref, stater_ref,
+    *, l_chunk: int, save_states: bool, seq_len: int,
+):
+    """Direct-streaming variant of _fwd_kernel_dual (fused y + inline decay).
+
+    MEASURED NEGATIVE — kept behind AUM_SCAN_DIRECT=1 (default off); do not
+    re-enable without new evidence. On-chip dual fwd at B=64/L=513/d1536/
+    N=16: 9.29 ms at b_t=8 and 7.75 ms at b_t=4 vs 4.79 ms for the staged
+    kernel. Mosaic does not slot-reuse stack temporaries across the fully
+    unrolled loop, so every per-step intermediate is spilled to the VMEM
+    stack — recreating (worse) the scratch round trips this design tried to
+    remove, while also giving up the chunk-wide vectorized prologue passes.
+    Chunk-wide staged passes are the right shape for Mosaic; per-step
+    streaming is not.
+
+    The idea: with the loop FULLY unrolled every in-chunk index is static,
+    so per-step operands can be read straight off the input block refs and
+    the gated output written straight to the output refs — no chunk-wide
+    scratch copies (a/dtu/B/C per direction, y accumulator, gating
+    epilogue); declared scratch shrinks to the two carry states, freeing
+    room for batch tiles b_t >= 8 that fill the VPU sublanes per step.
+    The stack-spill behavior above is what kills it.
+
+    The experiment's one lasting win: it surfaced CompilerParams
+    vmem_limit_bytes (see _scoped_vmem_kw), which un-capped the backward
+    d-tile for the staged kernels.
+
+    Masking follows the staged kernel's argument: only the REVERSE branch
+    meets the overhang chunk first, and here the mask collapses to a scalar
+    predicate per (static) step — 3 small selects replacing full-chunk
+    select passes.
+    """
+    l = pl.program_id(2)
+
+    @pl.when(l == 0)
+    def _():
+        statef_ref[...] = jnp.zeros_like(statef_ref)
+        stater_ref[...] = jnp.zeros_like(stater_ref)
+
+    if save_states:
+        xbf_ref[...] = statef_ref[...][:, None]
+        xbr_ref[...] = stater_ref[...][:, None]
+
+    n_l = pl.num_programs(2)
+    _LOG2E = 1.4426950408889634
+    atf = atf_ref[...].astype(jnp.float32) * _LOG2E   # (N, d_b)
+    atr = atr_ref[...].astype(jnp.float32) * _LOG2E
+    dskf = dskf_ref[...].astype(jnp.float32)          # (1, d_b)
+    dskr = dskr_ref[...].astype(jnp.float32)
+    rc0 = (n_l - 1 - l) * l_chunk  # reverse chunk's global start position
+
+    def body(i, carry):
+        xf, xr = carry
+        tr = l_chunk - 1 - i
+        # Forward direction: unmasked (overhang garbage dies with the chunk
+        # and lands only in discarded output rows — see _fwd_kernel_dual).
+        dtf = df_ref[:, i].astype(jnp.float32)        # (b_t, d_b)
+        uf = uf_ref[:, i].astype(jnp.float32)
+        bf = bf_ref[:, i].astype(jnp.float32)         # (b_t, N)
+        daf = jnp.exp2(dtf[:, None, :] * atf[None])
+        xf = daf * xf + (dtf * uf)[:, None, :] * bf[:, :, None]
+        cf = cf_ref[:, i].astype(jnp.float32)
+        yf = jnp.sum(xf * cf[:, :, None], axis=1) + dskf * uf
+        zf = zf_ref[:, i].astype(jnp.float32)
+        outf_ref[:, i] = (yf * _silu(zf)).astype(outf_ref.dtype)
+        # Reverse direction: mask the recurrence inputs at overhang steps
+        # (processed first; dt=0 -> decay 1, input term 0 -> pass-through).
+        valid = rc0 + tr < seq_len
+        dtr = _mask_step(valid, dr_ref[:, tr].astype(jnp.float32))
+        ur = _mask_step(valid, ur_ref[:, tr].astype(jnp.float32))
+        br = _mask_step(valid, br_ref[:, tr].astype(jnp.float32))
+        dar = jnp.exp2(dtr[:, None, :] * atr[None])
+        xr = dar * xr + (dtr * ur)[:, None, :] * br[:, :, None]
+        cr = cr_ref[:, tr].astype(jnp.float32)
+        yr = jnp.sum(xr * cr[:, :, None], axis=1) + dskr * ur
+        zr = zr_ref[:, tr].astype(jnp.float32)
+        outr_ref[:, tr] = (yr * _silu(zr)).astype(outr_ref.dtype)
+        return (xf, xr)
+
+    statef, stater = jax.lax.fori_loop(
+        0, l_chunk, body, (statef_ref[...], stater_ref[...]),
+        unroll=l_chunk)
+    statef_ref[...] = statef
+    stater_ref[...] = stater
+
+
 def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
                      interpret, b_tile=None, fuse_y=True,
-                     inline_decay=False):
+                     inline_decay=False, direct=False):
     """args_f/args_r: (u, dt, a_t, bm, cm, dsk, z) per direction, dt
     pre-activated (see _prep). Forward direction scans chunks
     left->right, reverse right->left."""
@@ -1667,6 +1800,14 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         env_bt = _os.environ.get("AUM_SCAN_BTILE")
         if env_bt and bsz % int(env_bt) == 0:
             b_tile = int(env_bt)
+        elif direct:
+            # Scratch is just the two carry states; per-step math wants the
+            # batch tile to fill the VPU sublanes (see the kernel docstring).
+            b_tile = 1
+            for cand in (8, 4, 2):
+                if bsz % cand == 0:
+                    b_tile = cand
+                    break
         elif fuse_y and inline_decay:
             # No (L_c, N, d_b) scratch left, but Mosaic stack temporaries
             # still scale with b_t·L_c·N·d_b (measured: 8.4M total at
@@ -1726,29 +1867,54 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
 
     if inline_decay and not fuse_y:
         raise ValueError("inline_decay requires fuse_y")
-    kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
-                               save_states=save_states, seq_len=seq_len,
-                               fuse_y=fuse_y, inline_decay=inline_decay)
+    if direct:
+        kernel = functools.partial(_fwd_kernel_dual_direct, l_chunk=l_chunk,
+                                   save_states=save_states, seq_len=seq_len)
+    else:
+        kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
+                                   save_states=save_states, seq_len=seq_len,
+                                   fuse_y=fuse_y, inline_decay=inline_decay)
     cost = pl.CostEstimate(
         flops=20 * bsz * seq_len * d * n_pad,
         bytes_accessed=8 * bsz * seq_len * d * 4,
         transcendentals=2 * bsz * seq_len * d * n_pad,
     )
-    if fuse_y:
-        # x never round-trips through scratch: the two big (L_c, N, d_b)
-        # buffers become (L_c, d_b) y accumulators, plus masked-C chunks.
-        x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
-        extra_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32)] * 2
+    if direct:
+        scratch = [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
     else:
-        x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
-                                 jnp.float32)] * 2
-        extra_scr = []
-    if inline_decay:
-        # af/ar hold the (L_c, d_b) dt·log2(e) factors, not the decay.
-        a_scr = [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
-    else:
-        a_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
-                            jnp.float32)] * 2
+        if fuse_y:
+            # x never round-trips through scratch: the two big (L_c, N, d_b)
+            # buffers become (L_c, d_b) y accumulators, plus masked-C chunks.
+            x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, d_block),
+                                     jnp.float32)] * 2
+            extra_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad),
+                                    jnp.float32)] * 2
+        else:
+            x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                                     jnp.float32)] * 2
+            extra_scr = []
+        if inline_decay:
+            # af/ar hold the (L_c, d_b) dt·log2(e) factors, not the decay.
+            a_scr = [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
+        else:
+            a_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
+                                jnp.float32)] * 2
+        scratch = (
+            [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
+            + a_scr
+            + x_or_y_scr
+            + [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
+            + [pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32)] * 2
+            + extra_scr
+        )
+    kw = _scoped_vmem_kw(interpret)
+    if direct and not interpret and not kw:
+        # The direct kernel's fully-unrolled loop holds per-step stack
+        # temporaries Mosaic does not slot-reuse; raise the scoped-VMEM
+        # ceiling past the 16M default (v5e has 128M VMEM and the direct
+        # kernel's declared scratch is only the two carry states).
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_d, n_b, n_l),
@@ -1756,16 +1922,10 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
                   seq_r, seq_r, at_spec, bc_r, bc_r, vec_spec, seq_r],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=(
-            [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
-            + a_scr
-            + x_or_y_scr
-            + [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
-            + [pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32)] * 2
-            + extra_scr
-        ),
+        scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=interpret,
+        **kw,
     )(*args_f, *args_r)
     return outs  # out_f, out_r, xb_f, xb_r
 
@@ -1795,8 +1955,9 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         (upr, dtpr, atr, bpr, cpr, dskpr, zpr, *_rest) = pr
         fuse_y = _env_int("AUM_SCAN_FUSED_Y", 1) != 0
         inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
+        direct = _env_int("AUM_SCAN_DIRECT", 0) != 0
         op = _get_dual_fwd_op(False, dbt, l_chunk, interpret, fuse_y,
-                              inline_decay)
+                              inline_decay, direct)
         outf, outr = op(upf, dtpf, atf, bpf, cpf, dskpf, zpf,
                         upr, dtpr, atr, bpr, cpr, dskpr, zpr)
         return outf, outr
@@ -1812,8 +1973,9 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
          _db2, _lc2, _l2, nr) = pr
         fuse_y = _env_int("AUM_SCAN_FUSED_Y", 1) != 0
         inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
+        direct = _env_int("AUM_SCAN_DIRECT", 0) != 0
         op = _get_dual_fwd_op(True, dbt, l_chunk, interpret, fuse_y,
-                              inline_decay)
+                              inline_decay, direct)
         outf, outr, xbf, xbr = op(
             upf, dtpf, atf, bpf, cpf, dskpf, zpf,
             upr, dtpr, atr, bpr, cpr, dskpr, zpr)
@@ -1841,7 +2003,7 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
             # 208.4 ms two-pass; the halved d-tile (128 vs 256) costs more
             # than the interleaved chains save), so OFF by default —
             # AUM_SCAN_DUAL_BWD=1 opts in.
-            budget = int(15.5 * 2**20 / (16.8 * l_chunk * n_pad * 4))
+            budget = int(_scoped_vmem_budget() / (16.8 * l_chunk * n_pad * 4))
             bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                                   min(dbt, max(128, (budget // 128) * 128)))
             op = _get_dual_bwd_op(bwd_target, l_chunk, interpret)
@@ -1851,7 +2013,7 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         # Two sequential single-direction passes (AUM_SCAN_DUAL_BWD=0).
         fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
         eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
-        budget = int(15.5 * 2**20 / (eq * l_chunk * n_pad * 4))
+        budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
 

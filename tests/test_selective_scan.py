@@ -215,3 +215,37 @@ def test_fused_loop_backward_matches_v1(monkeypatch):
     for i, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
                                    err_msg=f"grad #{i}")
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_direct_dual_forward_matches_staged(shared, monkeypatch):
+    """The direct-streaming dual forward (AUM_SCAN_DIRECT=1; default-off
+    after v5e measurement showed Mosaic spills the unrolled per-step
+    temporaries — see _fwd_kernel_dual_direct docstring) must match the
+    staged kernel, including reverse-overhang masking and the save_states
+    port the backward consumes."""
+    from aum_tpu.ops.selective_scan import selective_scan_dual
+
+    args_f = _make_inputs(jax.random.PRNGKey(11), bsz=2, l=37, d=24, n=8)
+    args_r = args_f if shared else _make_inputs(
+        jax.random.PRNGKey(12), bsz=2, l=37, d=24, n=8)
+
+    def loss(*flat):
+        yf, yr = selective_scan_dual(flat[:8], flat[8:], d_block=8,
+                                     l_chunk=16)
+        return jnp.sum(jnp.sin(yf + 2 * yr))
+
+    gfn = jax.grad(loss, argnums=tuple(range(16)))
+    monkeypatch.setenv("AUM_SCAN_DIRECT", "0")
+    yf0, yr0 = selective_scan_dual(args_f, args_r, d_block=8, l_chunk=16)
+    ref = [np.asarray(g) for g in gfn(*args_f, *args_r)]
+    monkeypatch.setenv("AUM_SCAN_DIRECT", "1")
+    yf1, yr1 = selective_scan_dual(args_f, args_r, d_block=8, l_chunk=16)
+    got = [np.asarray(g) for g in gfn(*args_f, *args_r)]
+    np.testing.assert_allclose(np.asarray(yf1), np.asarray(yf0),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yr1), np.asarray(yr0),
+                               rtol=2e-5, atol=2e-5)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"grad #{i}")
