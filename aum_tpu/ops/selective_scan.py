@@ -1021,7 +1021,16 @@ def _choose_l(l: int, target: int) -> tuple[int, int]:
     (25% waste, confirmed by device profiling); chunk 104 computes 520
     (1.4%). Scans 8-aligned effective lengths and picks the chunk with the
     least waste near the target.
+
+    AUM_SCAN_LCHUNK_EXACT pins the chunk exactly (8-rounded), bypassing the
+    waste-minimizing search — the only way to measure fewer-but-larger
+    chunks, since the search always prefers minimal overhang (at L=513 it
+    returns 104 for any target >= 104). Sweep knob; unset in production.
     """
+    exact = _os.environ.get("AUM_SCAN_LCHUNK_EXACT")
+    if exact:
+        c = max(8, _round_up(int(exact), 8))
+        return _round_up(l, c), c
     if l <= target:
         c = _round_up(l, 8)
         return c, c

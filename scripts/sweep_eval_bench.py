@@ -3,6 +3,10 @@
 Each config runs bench.py in a subprocess (fresh jax, persistent compile
 cache makes repeats cheap). One TPU client at a time; run only when the
 host CPU is otherwise idle (host-side timing skews under load).
+
+Results are appended to /tmp/sweep_eval.log as each config finishes, so a
+killed parent (session death) loses at most the in-flight config. Launch
+detached (setsid nohup) to survive session restarts.
 """
 
 import json
@@ -24,6 +28,15 @@ CONFIGS = [
 ]
 
 
+LOG = "/tmp/sweep_eval.log"
+
+
+def emit(msg):
+    print(msg, flush=True)
+    with open(LOG, "a") as f:
+        f.write(msg + "\n")
+
+
 def main():
     configs = CONFIGS
     if len(sys.argv) > 1:
@@ -39,11 +52,11 @@ def main():
                 line = ln
         if line:
             val = json.loads(line)["value"]
-            print(f"{label:28s} {val:8.2f} clips/s", flush=True)
+            emit(f"{label:28s} {val:8.2f} clips/s")
         else:
             err = (r.stderr or r.stdout).strip().splitlines()
-            print(f"{label:28s} FAILED: {err[-1][:160] if err else '?'}",
-                  flush=True)
+            emit(f"{label:28s} FAILED: {err[-1][:160] if err else '?'}")
+    emit("== sweep done ==")
 
 
 if __name__ == "__main__":
