@@ -127,6 +127,32 @@ def test_choose_l_fallback_is_8_aligned():
             assert pad % c == 0 and pad >= l, (l, target, pad, c)
 
 
+def test_lchunk_exact_pin(monkeypatch):
+    """AUM_SCAN_LCHUNK_EXACT pins the chunk (8-rounded) regardless of
+    overhang waste, and the kernel stays exact with the larger overhang
+    (e.g. 176 at L=37: one chunk, 139 invalid tail steps)."""
+    from aum_tpu.ops.selective_scan import _choose_l, selective_scan_dual
+
+    monkeypatch.setenv("AUM_SCAN_LCHUNK_EXACT", "176")
+    pad, c = _choose_l(513, 104)
+    assert c == 176 and pad == 528
+    pad, c = _choose_l(37, 104)
+    assert c == 176 and pad == 176
+    monkeypatch.setenv("AUM_SCAN_LCHUNK_EXACT", "52")
+    _, c = _choose_l(513, 104)
+    assert c == 56  # 8-rounded
+
+    args_f = _make_inputs(jax.random.PRNGKey(11), bsz=2, l=37, d=24, n=8)
+    monkeypatch.setenv("AUM_SCAN_LCHUNK_EXACT", "176")
+    yf, yr = selective_scan_dual(args_f, args_f, d_block=8, l_chunk=104)
+    rf = selective_scan_ref(*args_f, delta_softplus=True)
+    rr = selective_scan_ref(*args_f, delta_softplus=True, reverse=True)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(rf),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("shared", [True, False])
 def test_dual_scan_matches_two_single_scans(shared):
     from aum_tpu.ops.selective_scan import selective_scan_dual
