@@ -18,6 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize (.pth-imported in EVERY child interpreter) dials
+# the TPU relay at *interpreter start* when PALLAS_AXON_POOL_IPS is set —
+# even under JAX_PLATFORMS=cpu. While the relay is unhealthy that blocks
+# each CLI-subprocess test ~25 min, and killing the hung child wedges the
+# TPU lease further. Tests are CPU-only by design: strip the trigger so
+# subprocesses skip axon registration entirely.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax  # noqa: E402
 
