@@ -1,0 +1,235 @@
+"""AOT export + serving bundles (`jax.export` / StableHLO).
+
+The reference's deployment story is an in-process notebook
+(/root/reference/examples/inference/inference.ipynb: rebuild the torch
+model, load a .pth, kaldi fbank, forward). TPU-native serving wants an
+ahead-of-time artifact instead: `jax.export` serializes the jitted forward
+(StableHLO + calling convention, Pallas scan kernels embedded as Mosaic
+custom calls) so a serving host can execute the model without the Python
+model stack — load bytes, call.
+
+Bundle layout (single zip file):
+
+  manifest.json    metadata: input layout, norm stats, label names,
+                   exported batch sizes, platforms, frontend flag
+  graph_b{N}.shlo  jax.export serialization of the forward at batch N
+  params.npz       flax params, '/'-joined keys (kept OUT of the graph:
+                   baking ~92M weights in as StableHLO constants bloats
+                   the artifact and defeats weight hot-swap)
+
+``include_frontend=True`` exports the whole serving graph
+wav -> mean-subtract -> kaldi fbank -> pad/crop -> normalize -> logits as
+ONE XLA program (the dataloader.py:94-147 + notebook flow, fused on
+device); otherwise the graph takes (B, T_frames, n_mels) log-mel input.
+
+Batch handling at serve time: requests are padded up to the smallest
+exported batch size that fits; oversized requests run in chunks of the
+largest exported size. Exported sizes are static by design — the Pallas
+scan grid is specialized per shape, and serving on fixed shapes is the
+XLA-native deployment model (no recompiles, no dynamic-shape fallbacks).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+__all__ = ["export_bundle", "save_bundle", "load_bundle", "ServingModel"]
+
+_MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return out
+
+
+def _forward_fn(model, *, include_frontend: bool, audio_length: int,
+                melbins: int, mean: float, std: float, sample_rate: int):
+    """Build the (params, x) -> logits function to export."""
+    if not include_frontend:
+        def fwd(params, x):
+            return model.apply(params, x)
+
+        return fwd
+
+    from aum_tpu.audio import FbankConfig, fbank, normalize
+
+    fcfg = FbankConfig(sample_frequency=sample_rate, num_mel_bins=melbins)
+
+    def fwd(params, wav):
+        # (B, S) waveform -> logits; dataloader.py:98-147 semantics:
+        # per-clip mean subtract, kaldi fbank, zero-pad / crop to
+        # audio_length frames, (x - mean) / (2 * std) normalize.
+        wav = wav - jnp.mean(wav, axis=-1, keepdims=True)
+        fb = fbank(wav, fcfg)  # (B, T, M)
+        t = fb.shape[1]
+        if t < audio_length:
+            fb = jnp.pad(fb, [(0, 0), (0, audio_length - t), (0, 0)])
+        else:
+            fb = fb[:, :audio_length]
+        fb = normalize(fb, mean, std)
+        return model.apply(params, fb)
+
+    return fwd
+
+
+def export_bundle(
+    model,
+    params,
+    *,
+    audio_length: int,
+    melbins: int,
+    batch_sizes: Sequence[int] = (1, 8),
+    mean: float = 0.0,
+    std: float = 0.5,
+    labels: Optional[Sequence[str]] = None,
+    platforms: Optional[Sequence[str]] = None,
+    include_frontend: bool = False,
+    sample_rate: int = 16000,
+    wav_samples: Optional[int] = None,
+    extra_meta: Optional[Dict[str, Any]] = None,
+) -> bytes:
+    """Serialize `model.apply(params, .)` into a serving bundle (zip bytes).
+
+    platforms: lowering platforms for jax.export (e.g. ("tpu",)); None uses
+    the default platform of the current process.
+    """
+    if include_frontend and wav_samples is None:
+        raise ValueError("include_frontend=True requires wav_samples")
+    fwd = _forward_fn(model, include_frontend=include_frontend,
+                      audio_length=audio_length, melbins=melbins,
+                      mean=mean, std=std, sample_rate=sample_rate)
+    p_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        params)
+
+    plats = list(platforms) if platforms is not None else None
+    graphs: Dict[int, bytes] = {}
+    for bsz in sorted(set(int(b) for b in batch_sizes)):
+        if include_frontend:
+            x_spec = jax.ShapeDtypeStruct((bsz, wav_samples), jnp.float32)
+        else:
+            x_spec = jax.ShapeDtypeStruct((bsz, audio_length, melbins),
+                                          jnp.float32)
+        exp = jax_export.export(jax.jit(fwd), platforms=plats)(p_spec, x_spec)
+        graphs[bsz] = exp.serialize()
+
+    manifest = {
+        "format_version": 1,
+        "batch_sizes": sorted(graphs),
+        "audio_length": audio_length,
+        "melbins": melbins,
+        "mean": mean,
+        "std": std,
+        "sample_rate": sample_rate,
+        "include_frontend": include_frontend,
+        "wav_samples": wav_samples,
+        "platforms": plats,
+        "labels": list(labels) if labels is not None else None,
+    }
+    if extra_meta:
+        manifest.update(extra_meta)
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_MANIFEST, json.dumps(manifest, indent=1))
+        pbuf = io.BytesIO()
+        np.savez(pbuf, **_flatten(params))
+        zf.writestr(_PARAMS, pbuf.getvalue())
+        for bsz, blob in graphs.items():
+            zf.writestr(f"graph_b{bsz}.shlo", blob)
+    return buf.getvalue()
+
+
+def save_bundle(path: str, *args, **kwargs) -> None:
+    with open(path, "wb") as f:
+        f.write(export_bundle(*args, **kwargs))
+
+
+@dataclass
+class ServingModel:
+    """A loaded serving bundle: deserialized graphs + params, no model code.
+
+    `predict(x)` pads the request batch up to the smallest exported size
+    that fits (oversized requests run in chunks of the largest size) and
+    returns logits for exactly the requested rows.
+    """
+
+    manifest: Dict[str, Any]
+    _graphs: Dict[int, Any] = field(repr=False)
+    _params: Dict[str, Any] = field(repr=False)
+
+    @property
+    def labels(self) -> Optional[List[str]]:
+        return self.manifest.get("labels")
+
+    @property
+    def batch_sizes(self) -> List[int]:
+        return list(self.manifest["batch_sizes"])
+
+    def _run(self, bsz: int, x: jax.Array) -> jax.Array:
+        exp = self._graphs[bsz]
+        if not callable(exp):  # lazily deserialize + jit once per size
+            exp = jax.jit(jax_export.deserialize(exp).call)
+            self._graphs[bsz] = exp
+        return exp(self._params, x)
+
+    def predict(self, x) -> jax.Array:
+        x = jnp.asarray(x, jnp.float32)
+        b = x.shape[0]
+        sizes = self.batch_sizes
+        fit = [s for s in sizes if s >= b]
+        if fit:
+            bsz = fit[0]
+            pad = bsz - b
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            return self._run(bsz, x)[:b]
+        big = sizes[-1]
+        outs = [self.predict(x[i:i + big]) for i in range(0, b, big)]
+        return jnp.concatenate(outs)
+
+    def predict_scores(self, x) -> jax.Array:
+        """Sigmoid scores (the notebook's readout, inference.ipynb)."""
+        return jax.nn.sigmoid(self.predict(x).astype(jnp.float32))
+
+
+def load_bundle(src) -> ServingModel:
+    """Load a bundle from a path or bytes. Graphs deserialize lazily."""
+    data = src if isinstance(src, (bytes, bytearray)) else open(src, "rb").read()
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        manifest = json.loads(zf.read(_MANIFEST))
+        flat = dict(np.load(io.BytesIO(zf.read(_PARAMS))))
+        graphs: Dict[int, Any] = {
+            int(b): zf.read(f"graph_b{b}.shlo")
+            for b in manifest["batch_sizes"]
+        }
+    return ServingModel(manifest=manifest, _graphs=graphs,
+                        _params=_unflatten(flat))

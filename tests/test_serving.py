@@ -1,0 +1,90 @@
+"""Serving-bundle (jax.export AOT) tests — CPU platform roundtrips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aum_tpu.models import AudioMamba, AudioMambaConfig
+from aum_tpu.serving import export_bundle, load_bundle
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = AudioMambaConfig(depth=2, embed_dim=64, spectrogram_size=(32, 64),
+                           patch_size=(16, 16), num_classes=10)
+    model = AudioMamba(cfg)
+    x = jnp.zeros((1, 64, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    return cfg, model, params
+
+
+def test_roundtrip_matches_apply(tiny_model):
+    cfg, model, params = tiny_model
+    blob = export_bundle(
+        model, params, audio_length=64, melbins=32, batch_sizes=(2,),
+        labels=["l%d" % i for i in range(10)], platforms=("cpu",))
+    sm = load_bundle(blob)
+    assert sm.batch_sizes == [2]
+    assert sm.labels[3] == "l3"
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32))
+    got = np.asarray(sm.predict(x))
+    want = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_pads_and_chunks(tiny_model):
+    cfg, model, params = tiny_model
+    blob = export_bundle(model, params, audio_length=64, melbins=32,
+                         batch_sizes=(2, 4), platforms=("cpu",))
+    sm = load_bundle(blob)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 64, 32))
+    got = np.asarray(sm.predict(x))  # pads 3 -> 4
+    want = np.asarray(model.apply(params, x))
+    assert got.shape == (3, 10)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (9, 64, 32))
+    got = np.asarray(sm.predict(x))  # chunks 4 + 4 + pad(1 -> 2)
+    want = np.asarray(model.apply(params, x))
+    assert got.shape == (9, 10)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_frontend_graph_matches_manual_pipeline(tiny_model):
+    from aum_tpu.audio import FbankConfig, fbank, normalize
+
+    cfg, model, params = tiny_model
+    sr, secs = 16000, 0.75
+    nsamp = int(sr * secs)
+    blob = export_bundle(
+        model, params, audio_length=64, melbins=32, batch_sizes=(2,),
+        mean=-4.27, std=4.57, include_frontend=True, sample_rate=sr,
+        wav_samples=nsamp, platforms=("cpu",))
+    sm = load_bundle(blob)
+    assert sm.manifest["include_frontend"] is True
+
+    wav = jax.random.normal(jax.random.PRNGKey(4), (2, nsamp)) * 0.1
+    got = np.asarray(sm.predict(wav))
+
+    w = wav - jnp.mean(wav, axis=-1, keepdims=True)
+    fb = fbank(w, FbankConfig(sample_frequency=sr, num_mel_bins=32))
+    t = fb.shape[1]
+    fb = (jnp.pad(fb, [(0, 0), (0, 64 - t), (0, 0)]) if t < 64
+          else fb[:, :64])
+    fb = normalize(fb, -4.27, 4.57)
+    want = np.asarray(model.apply(params, fb))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_scores_are_sigmoid(tiny_model):
+    cfg, model, params = tiny_model
+    blob = export_bundle(model, params, audio_length=64, melbins=32,
+                         batch_sizes=(1,), platforms=("cpu",))
+    sm = load_bundle(blob)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, 32))
+    s = np.asarray(sm.predict_scores(x))
+    logits = np.asarray(sm.predict(x), np.float32)
+    np.testing.assert_allclose(s, 1.0 / (1.0 + np.exp(-logits)), rtol=1e-6)
