@@ -113,12 +113,25 @@ def export_bundle(
     include_frontend: bool = False,
     sample_rate: int = 16000,
     wav_samples: Optional[int] = None,
+    mesh=None,
+    data_axis: str = "data",
     extra_meta: Optional[Dict[str, Any]] = None,
 ) -> bytes:
     """Serialize `model.apply(params, .)` into a serving bundle (zip bytes).
 
     platforms: lowering platforms for jax.export (e.g. ("tpu",)); None uses
     the default platform of the current process.
+
+    mesh: a `jax.sharding.Mesh` for multi-chip serving — the batch is
+    sharded over `data_axis`, params replicated, and GSPMD partitions the
+    graph (the exported artifact then requires the same device count at
+    load time; `ServingModel.predict` must be called under that mesh).
+    Batch sizes must be divisible by the data-axis size. NOTE: multi-chip
+    export requires the model's GSPMD jnp scan path (build the model with
+    ``use_kernel=False``): the Pallas kernels' custom_partitioning rules
+    are python callbacks, which jax.export cannot serialize
+    (jax _export.py:1088 "host_callbacks"). Single-chip exports embed the
+    Pallas kernels as Mosaic custom calls and are the fast path.
     """
     if include_frontend and wav_samples is None:
         raise ValueError("include_frontend=True requires wav_samples")
@@ -129,15 +142,29 @@ def export_bundle(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         params)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x_sh = NamedSharding(mesh, PartitionSpec(data_axis))
+        p_sh = jax.tree.map(
+            lambda _: NamedSharding(mesh, PartitionSpec()), p_spec)
+        jfwd = jax.jit(fwd, in_shardings=(p_sh, x_sh))
+    else:
+        jfwd = jax.jit(fwd)
+
     plats = list(platforms) if platforms is not None else None
     graphs: Dict[int, bytes] = {}
     for bsz in sorted(set(int(b) for b in batch_sizes)):
+        if mesh is not None and bsz % mesh.shape[data_axis]:
+            raise ValueError(
+                f"batch size {bsz} not divisible by mesh axis "
+                f"'{data_axis}' = {mesh.shape[data_axis]}")
         if include_frontend:
             x_spec = jax.ShapeDtypeStruct((bsz, wav_samples), jnp.float32)
         else:
             x_spec = jax.ShapeDtypeStruct((bsz, audio_length, melbins),
                                           jnp.float32)
-        exp = jax_export.export(jax.jit(fwd), platforms=plats)(p_spec, x_spec)
+        exp = jax_export.export(jfwd, platforms=plats)(p_spec, x_spec)
         graphs[bsz] = exp.serialize()
 
     manifest = {
@@ -152,6 +179,9 @@ def export_bundle(
         "wav_samples": wav_samples,
         "platforms": plats,
         "labels": list(labels) if labels is not None else None,
+        "n_devices": int(np.prod(list(mesh.shape.values())))
+                     if mesh is not None else 1,
+        "data_axis": data_axis if mesh is not None else None,
     }
     if extra_meta:
         manifest.update(extra_meta)
@@ -184,6 +214,7 @@ class ServingModel:
     manifest: Dict[str, Any]
     _graphs: Dict[int, Any] = field(repr=False)
     _params: Dict[str, Any] = field(repr=False)
+    _params_placed: bool = field(default=False, repr=False)
 
     @property
     def labels(self) -> Optional[List[str]]:
@@ -193,11 +224,33 @@ class ServingModel:
     def batch_sizes(self) -> List[int]:
         return list(self.manifest["batch_sizes"])
 
+    def _mesh(self):
+        """(Re)build the serving mesh for a multi-device bundle."""
+        from jax.sharding import Mesh
+
+        n = int(self.manifest.get("n_devices") or 1)
+        devs = jax.devices()
+        if len(devs) < n:
+            raise RuntimeError(
+                f"bundle exported for {n} devices; {len(devs)} available")
+        return Mesh(np.array(devs[:n]), (self.manifest["data_axis"],))
+
     def _run(self, bsz: int, x: jax.Array) -> jax.Array:
         exp = self._graphs[bsz]
         if not callable(exp):  # lazily deserialize + jit once per size
             exp = jax.jit(jax_export.deserialize(exp).call)
             self._graphs[bsz] = exp
+        if int(self.manifest.get("n_devices") or 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh = self._mesh()
+            axis = self.manifest["data_axis"]
+            if not self._params_placed:
+                self._params = jax.device_put(
+                    self._params, NamedSharding(mesh, PartitionSpec()))
+                self._params_placed = True
+            x = jax.device_put(
+                x, NamedSharding(mesh, PartitionSpec(axis)))
         return exp(self._params, x)
 
     def predict(self, x) -> jax.Array:

@@ -79,6 +79,32 @@ def test_frontend_graph_matches_manual_pipeline(tiny_model):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_export_roundtrip(tiny_model):
+    """Multi-chip serving: batch sharded over an 8-device 'data' mesh at
+    export time; the loaded graph runs under the same device count and
+    matches the unsharded forward."""
+    from jax.sharding import Mesh
+
+    cfg, model, params = tiny_model
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    # Multi-chip export rides the GSPMD jnp scan path: the Pallas kernels'
+    # custom_partitioning rules are python callbacks, which jax.export
+    # cannot serialize yet (jax _export.py:1088) — see export_bundle docs.
+    model = AudioMamba(cfg, use_kernel=False)
+    blob = export_bundle(model, params, audio_length=64, melbins=32,
+                         batch_sizes=(8,), platforms=("cpu",), mesh=mesh)
+    sm = load_bundle(blob)
+    assert sm.manifest["n_devices"] == 8
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (8, 64, 32))
+    got = np.asarray(sm.predict(x))
+    want = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_scores_are_sigmoid(tiny_model):
     cfg, model, params = tiny_model
     blob = export_bundle(model, params, audio_length=64, melbins=32,
