@@ -276,7 +276,11 @@ class ServingModel:
 
 def load_bundle(src) -> ServingModel:
     """Load a bundle from a path or bytes. Graphs deserialize lazily."""
-    data = src if isinstance(src, (bytes, bytearray)) else open(src, "rb").read()
+    if isinstance(src, (bytes, bytearray)):
+        data = src
+    else:
+        with open(src, "rb") as f:
+            data = f.read()
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         manifest = json.loads(zf.read(_MANIFEST))
         flat = dict(np.load(io.BytesIO(zf.read(_PARAMS))))
