@@ -16,6 +16,8 @@ A from-scratch rebuild of the capabilities of kaistmm/Audio-Mamba-AuM
 - ``aum_tpu.parallel`` — jax.sharding mesh utilities (data/model axes, ICI
                          collectives via pjit/shard_map).
 - ``aum_tpu.convert``  — PyTorch .pth -> JAX pytree checkpoint porter.
+- ``aum_tpu.serving``  — AOT serving bundles via jax.export (StableHLO
+                         graphs + params + labels in one artifact).
 """
 
 __version__ = "0.1.0"

@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
-__all__ = ["export_bundle", "save_bundle", "load_bundle", "ServingModel"]
+__all__ = ["export_bundle", "save_bundle", "load_bundle", "ServingModel",
+           "make_http_server"]
 
 _MANIFEST = "manifest.json"
 _PARAMS = "params.npz"
@@ -272,6 +273,76 @@ class ServingModel:
     def predict_scores(self, x) -> jax.Array:
         """Sigmoid scores (the notebook's readout, inference.ipynb)."""
         return jax.nn.sigmoid(self.predict(x).astype(jnp.float32))
+
+
+def make_http_server(sm: ServingModel, host: str = "127.0.0.1",
+                     port: int = 8000):
+    """A minimal stdlib HTTP front for a ServingModel.
+
+    Endpoints:
+      GET  /healthz  -> {"ok": true, "batch_sizes": [...], ...}
+      POST /predict  -> body {"instances": [[...], ...]} (nested lists,
+                        shape (B, T, M) features or (B, S) waveforms per
+                        the bundle's include_frontend flag); returns
+                        {"scores": [[...], ...]} sigmoid scores, plus
+                        "topk": [[{"label", "score"}, ...], ...] when the
+                        bundle carries label names.
+
+    Returns an http.server.ThreadingHTTPServer (call .serve_forever(), or
+    run it from a thread; a lock serializes predict calls). Deliberately
+    dependency-free — a production deployment would put this behind a real
+    frontend, but the artifact + this loop IS a complete serving host.
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._reply(404, {"error": "not found"})
+            m = sm.manifest
+            self._reply(200, {
+                "ok": True, "batch_sizes": m["batch_sizes"],
+                "include_frontend": m["include_frontend"],
+                "audio_length": m["audio_length"], "melbins": m["melbins"],
+                "n_labels": len(sm.labels) if sm.labels else 0,
+            })
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._reply(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n))
+                x = np.asarray(req["instances"], np.float32)
+                topk = int(req.get("topk", 0))
+                with lock:
+                    scores = np.asarray(sm.predict_scores(x))
+            except Exception as e:  # noqa: BLE001 — surfaced to the client
+                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            out: Dict[str, Any] = {"scores": scores.tolist()}
+            if topk and sm.labels:
+                idx = np.argsort(-scores, axis=-1)[:, :topk]
+                out["topk"] = [
+                    [{"label": sm.labels[int(i)], "score": float(s[int(i)])}
+                     for i in row]
+                    for row, s in zip(idx, scores)]
+            self._reply(200, out)
+
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def load_bundle(src) -> ServingModel:

@@ -105,6 +105,55 @@ def test_sharded_export_roundtrip(tiny_model):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_http_server_roundtrip(tiny_model):
+    import json
+    import threading
+    import urllib.request
+
+    from aum_tpu.serving import make_http_server
+
+    cfg, model, params = tiny_model
+    blob = export_bundle(model, params, audio_length=64, melbins=32,
+                         batch_sizes=(2,),
+                         labels=["l%d" % i for i in range(10)],
+                         platforms=("cpu",))
+    sm = load_bundle(blob)
+    srv = make_http_server(sm, "127.0.0.1", 0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["batch_sizes"] == [2]
+
+        x = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(7), (2, 64, 32)))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"instances": x.tolist(), "topk": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        want = np.asarray(sm.predict_scores(x))
+        np.testing.assert_allclose(np.asarray(out["scores"]), want,
+                                   rtol=1e-5, atol=1e-6)
+        assert len(out["topk"][0]) == 3
+        assert out["topk"][0][0]["label"].startswith("l")
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"not json",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_scores_are_sigmoid(tiny_model):
     cfg, model, params = tiny_model
     blob = export_bundle(model, params, audio_length=64, melbins=32,
