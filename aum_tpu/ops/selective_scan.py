@@ -455,7 +455,12 @@ def _bwd_kernel(
     dt = _mask0(m, dt_ref[...].astype(jnp.float32))
 
     # --- Recompute in-chunk states from the saved boundary state. -----------
-    a_scr[...] = jnp.exp(dt[:, :, None, :] * a_t[None, None, :, :])
+    # exp as exp2 with log2(e) folded into the (L_c, d_b) dt factor — skips
+    # the hidden full-(L_c, N, d_b) multiply inside exp's VPU lowering
+    # (same trade the dual forward ships, _fwd_kernel_dual).
+    _LOG2E = 1.4426950408889634
+    a_scr[...] = jnp.exp2((dt * _LOG2E)[:, :, None, :]
+                          * a_t[None, None, :, :])
     tmp_scr[...] = (dt * u)[:, :, None, :] * bm[:, :, :, None]   # dBu
 
     def fwd_body(i, x):
