@@ -61,6 +61,27 @@ def test_grads_match_oracle(reverse):
             err_msg=f"grad mismatch for {name}")
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_forward_random_shapes(seed):
+    """Property-style sweep over odd lengths / channel counts / tilings —
+    exercises the overhang-masking and tile-selection edges (chunk >,=,<
+    L; d_block dividing and not dividing the d-tile target; N pad)."""
+    rng = np.random.RandomState(seed + 100)
+    bsz = int(rng.choice([1, 2, 3]))
+    l = int(rng.randint(9, 120))
+    d = int(rng.choice([8, 16, 24, 40]))
+    n = int(rng.choice([4, 8, 16]))
+    l_chunk = int(rng.choice([8, 16, 48]))
+    reverse = bool(rng.randint(2))
+    args = _make_inputs(jax.random.PRNGKey(seed), bsz, l, d, n)
+    ref = selective_scan_ref(*args, delta_softplus=True, reverse=reverse)
+    out = selective_scan(*args, delta_softplus=True, reverse=reverse,
+                         d_block=8, l_chunk=l_chunk)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5,
+        err_msg=f"shape=({bsz},{l},{d},{n}) l_chunk={l_chunk} rev={reverse}")
+
+
 def test_reverse_equals_flip_scan_flip():
     args = _make_inputs(jax.random.PRNGKey(2))
     u, delta, A, B, C, D, z, db = args
