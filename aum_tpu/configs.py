@@ -36,6 +36,12 @@ class ExperimentConfig:
     fpatch_size: int = 16
     tpatch_size: int = 16
     batch_size: int = 12
+    # Gradient-accumulation microsteps: batch_size must divide evenly; >1
+    # reproduces multi-GPU effective batches on one chip (see
+    # train.loop.make_train_step). Optimizer bs-scaling uses the full
+    # batch_size either way (matching the reference's effective-batch
+    # semantics, traintest.py:26-34).
+    accum_steps: int = 1
     lr: float = 1e-5
     n_epochs: int = 5
     freqm: int = 48

@@ -331,6 +331,7 @@ def main(argv=None):
         augment=AugmentConfig(),  # augmentation handled on-device in pipeline
         nan2num=cfg.nan2num, continue_inf=cfg.continue_inf,
         exp_dir=args.exp_dir, checkpointer=ckptr,
+        accum_steps=cfg.accum_steps,
         flexible_patch_sizes=(list(cfg.flexible_patch_sizes)
                               if cfg.flexible_patch_sizes else None))
     print(f"best epoch {best['epoch']}: {cfg.metrics}={best['main']:.4f}")

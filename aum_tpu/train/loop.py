@@ -74,6 +74,7 @@ def make_train_step(
     donate: bool = True,
     patch_size=None,
     strides=None,
+    accum_steps: int = 1,
 ):
     """Build the jitted sharded train step: (state, batch, rng) -> (state, loss).
 
@@ -81,6 +82,15 @@ def make_train_step(
     `patch_size`/`strides` build a step specialized to a runtime patch size
     (flexible-patch-size training, traintest.py:127-148 — one jitted step
     per size, the TPU equivalent of the reference's per-batch random size).
+
+    `accum_steps` > 1 splits the batch into that many equal microbatches
+    and accumulates gradients over a lax.scan before ONE optimizer update —
+    numerically the full-batch mean-loss step (equal micro sizes), at the
+    activation-memory cost of a single microbatch. The reference reaches
+    large effective batches only by adding GPUs (per-GPU batch_size,
+    README.md:90-96); this is the single-chip equivalent, and it composes
+    with the split-remat HBM cap (B<=32 bf16 — AudioMambaConfig.remat_mode)
+    to reproduce any recipe's effective batch on one chip.
     """
     loss_of = loss_fn_of(loss_type)
 
@@ -103,14 +113,39 @@ def make_train_step(
         if augment.noise:
             x = noise_and_roll(k_noise, x)
 
-        def loss_f(p):
-            logits = model.apply(p, x, **model_kwargs)
-            loss = loss_of(logits, y)
+        def loss_f(p, xb, yb):
+            logits = model.apply(p, xb, **model_kwargs)
+            loss = loss_of(logits, yb)
             if nan2num:
                 loss = jnp.nan_to_num(loss)
             return loss
 
-        loss, grads = jax.value_and_grad(loss_f)(state.params)
+        if accum_steps <= 1:
+            loss, grads = jax.value_and_grad(loss_f)(state.params, x, y)
+        else:
+            if x.shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by "
+                    f"accum_steps={accum_steps}")
+            xm = x.reshape(accum_steps, x.shape[0] // accum_steps,
+                           *x.shape[1:])
+            ym = y.reshape(accum_steps, y.shape[0] // accum_steps,
+                           *y.shape[1:])
+
+            def body(carry, xy):
+                l_sum, g_sum = carry
+                xb, yb = xy
+                if data_sharding is not None:
+                    xb = jax.lax.with_sharding_constraint(xb, data_sharding)
+                    yb = jax.lax.with_sharding_constraint(yb, data_sharding)
+                l, g = jax.value_and_grad(loss_f)(state.params, xb, yb)
+                return (l_sum + l, jax.tree.map(jnp.add, g_sum, g)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (l_sum, g_sum), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zeros), (xm, ym))
+            loss = l_sum / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
         finite = jnp.isfinite(loss)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -232,6 +267,7 @@ def train_loop(
     print_fn=print,
     save_predictions: bool = False,
     flexible_patch_sizes=None,
+    accum_steps: int = 1,
 ):
     """Epoch loop: train, validate, track best, checkpoint (traintest.py:85-247).
 
@@ -254,7 +290,8 @@ def train_loop(
         # step per size; a host RNG (identical across hosts by seed) picks
         # the size each step — the broadcast-from-rank-0 equivalent.
         steps = {ps: make_train_step(model, tx, mesh, loss_type, augment,
-                                     nan2num, donate=False, patch_size=ps)
+                                     nan2num, donate=False, patch_size=ps,
+                                     accum_steps=accum_steps)
                  for ps in flexible_patch_sizes}
         flex_rng = np.random.default_rng(1234)
 
@@ -264,7 +301,7 @@ def train_loop(
             return steps[ps](state, batch, rng)
     else:
         step_fn = make_train_step(model, tx, mesh, loss_type, augment,
-                                  nan2num)
+                                  nan2num, accum_steps=accum_steps)
     eval_fn = make_eval_step(model, mesh)
     history = []
     progress = []

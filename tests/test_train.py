@@ -142,6 +142,43 @@ def test_end_to_end_training_decreases_loss():
     assert metrics["acc"] > 0.5, metrics
 
 
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=K must reproduce the full-batch step (mean loss over
+    equal microbatches == full-batch mean loss), params matching to fp
+    tolerance (summation order differs)."""
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=96, spectrogram_size=(128, 64), num_classes=4,
+        d_state=8)
+    model = AudioMamba(cfg, use_kernel=False)
+    mesh = make_mesh(n_data=4, n_model=2)
+    hp = TrainHyperParams(lr=2e-3, warmup=False, lrscheduler_start=1000,
+                          weight_decay=0.0)
+    tx = make_optimizer(hp, steps_per_epoch=100)
+
+    rng = np.random.default_rng(3)
+    bsz = 8
+    xs = rng.standard_normal((bsz, 64, 128)).astype(np.float32) * 0.3
+    ys = np.eye(4, dtype=np.float32)[rng.integers(0, 4, bsz)]
+    batch = {"x": jnp.asarray(xs), "y": jnp.asarray(ys)}
+
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(xs[:1]), mesh=mesh)
+    step1 = make_train_step(model, tx, mesh, loss_type="CE",
+                            augment=AugmentConfig(), donate=False)
+    step2 = make_train_step(model, tx, mesh, loss_type="CE",
+                            augment=AugmentConfig(), donate=False,
+                            accum_steps=2)
+    k = jax.random.PRNGKey(5)
+    s1, l1 = step1(state, batch, k)
+    s2, l2 = step2(state, batch, k)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat1 = jax.tree.leaves(s1.params)
+    flat2 = jax.tree.leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_flexible_patch_size_training_runs():
     """Flexible training (traintest.py:127-148): steps alternate patch sizes
     and all update the same params."""
