@@ -1827,8 +1827,15 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
             # still scale with b_t·L_c·N·d_b (measured: 8.4M total at
             # bt1/l104/d768, 16.87M at bt2 — over the 16M scoped limit), so
             # the effective per-chain budget model keeps N in the product.
-            # At model shapes this yields bt=1, which also measured fastest
-            # (sweep 2026-08: trading chunk for batch tile loses).
+            # At model shapes this yields bt=1. Measured (trading chunk for
+            # batch tile under 16M, sweep 2026-08): bt2 l88 395.5 / bt4 l48
+            # 392.5 vs bt1 l104 408 clips/s. Re-measured at the 64M ceiling
+            # where bt2 fits at the FULL l104 chunk (3 reps each, eval
+            # B=64): bt1 419.9/424.7/422.1 vs bt2 426.6/418.2/421.8 —
+            # statistically indistinguishable (±1% run noise swamps it) —
+            # and bt4 (409.5) / l176-bt2 (409.5) regress. Halving grid
+            # steps buys nothing the b_t=1 pipeline wasn't already hiding;
+            # keep bt1, AUM_SCAN_BTILE overrides for sweeps.
             b_tile = _pick_b_tile(bsz, l_chunk, d_block, 8, n_bufs=8,
                                   budget_bytes=16 * 2 ** 20)
         else:
