@@ -167,3 +167,54 @@ def test_run_ast_model(spc_like_data, tmp_path):
     ])
     assert len(history) == 1
     assert np.isfinite(history[0]["loss"])
+
+
+def test_run_eval_from_torch_pth_and_vim_pretrain(spc_like_data, tmp_path):
+    """The runner's torch-checkpoint branches: `--run-type eval --ckpt x.pth`
+    (run.py .pth porter routing, reference run.py:289-328) and
+    `imagenet_pretrain_path` ViM init (reference run.py:224-274 +
+    mamba_models.py:348-395)."""
+    import torch
+
+    from test_torch_port import make_sd_dims
+    from aum_tpu.run import main
+
+    rng = np.random.default_rng(21)
+    # tiny SPC-shaped model: embed 192, depth 2, grid (8,8) -> 64 patches.
+    sd = make_sd_dims(rng, depth=2, d_model=192, n_patches=64, n_class=4)
+    pth = str(tmp_path / "aum_tiny.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               pth)
+    common = [
+        "--recipe", "speechcommands/aum-base_scratch",
+        "--label-csv", spc_like_data["csv"],
+        "--set", "depth=2", "--set", "n_class=4", "--set", "batch_size=8",
+        "--set", "model_type=tiny", "--set", "dtype=float32",
+        "--set", "noise=False",
+    ]
+    m = main(common + [
+        "--data-eval", spc_like_data["eval"],
+        "--exp-dir", str(tmp_path / "pth_eval"),
+        "--run-type", "eval", "--ckpt", pth,
+    ])
+    assert 0.0 <= m["acc"] <= 1.0
+    assert os.path.exists(str(tmp_path / "pth_eval" / "stats_eval.pickle"))
+
+    # ViM-style checkpoint: natural-position middle cls pos, RGB kernel,
+    # 1000-class head, nested under the "model" key.
+    vim = make_sd_dims(rng, depth=2, d_model=192, n_patches=64, n_class=1000)
+    pos = vim.pop("pos_embed.pos_embed")  # (1, 65, 192), prefix layout
+    vim["pos_embed"] = np.concatenate(
+        [pos[:, 1:33], pos[:, 0:1], pos[:, 33:]], axis=1)
+    vim["patch_embed.proj.weight"] = (
+        rng.standard_normal((192, 3, 16, 16)) * 0.02).astype(np.float32)
+    vim_pth = str(tmp_path / "vim_tiny.pth")
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in vim.items()}}, vim_pth)
+    m2 = main(common + [
+        "--data-eval", spc_like_data["eval"],
+        "--exp-dir", str(tmp_path / "vim_eval"),
+        "--run-type", "eval",
+        "--set", f"imagenet_pretrain_path={vim_pth}",
+    ])
+    assert 0.0 <= m2["acc"] <= 1.0
