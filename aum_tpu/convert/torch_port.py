@@ -116,6 +116,32 @@ def _stack_layers(per_layer: list[Dict]) -> Dict:
             for k in keys}
 
 
+def _stack_block(sd: Dict, layer_ids, bt: str) -> Dict:
+    layers = _stack_layers([
+        {
+            "norm_weight": sd[f"layers.{i}.norm.weight"],
+            **{f"mixer/{k}": v for k, v in
+               _mixer_params(sd, f"layers.{i}.mixer.", bt).items()},
+        }
+        for i in layer_ids
+    ])
+    return {"norm_weight": layers.pop("norm_weight"),
+            "mixer": {k.split("/", 1)[1]: v for k, v in layers.items()}}
+
+
+def _port_layers(sd: Dict, depth: int, bt: str, if_bidirectional: bool) -> Dict:
+    """Stack per-layer torch modules into the nn.scan'd layer axis.
+
+    if_bidirectional pairs layers (mamba_models.py:624-638): even layers run
+    on the sequence ("fwd" stack), odd layers on the reversed sequence
+    ("bwd" stack), each scanned over depth//2.
+    """
+    if if_bidirectional:
+        return {"fwd": _stack_block(sd, range(0, depth, 2), bt),
+                "bwd": _stack_block(sd, range(1, depth, 2), bt)}
+    return {"block": _stack_block(sd, range(depth), bt)}
+
+
 def port_aum_state_dict(
     sd: Dict,
     cfg: AudioMambaConfig,
@@ -144,8 +170,14 @@ def port_aum_state_dict(
     )
 
     pos = sd["pos_embed.pos_embed"]
-    grid_load = infer_pretrain_grid(
-        pos, patch_size_load, strides_load, cfg.num_prefix_tokens)
+    if pos.shape[1] == cfg.num_prefix_tokens + cfg.num_patches:
+        # Token count already matches the target grid: no resample needed,
+        # so skip the 128-melbin grid-inference loop (which can't terminate
+        # for non-128-melbin donors).
+        grid_load = tuple(cfg.patch_grid)
+    else:
+        grid_load = infer_pretrain_grid(
+            pos, patch_size_load, strides_load, cfg.num_prefix_tokens)
 
     # Patch kernel: OIHW -> HWIO (+ PI resize if needed).
     kernel = np.transpose(proj_w, (2, 3, 1, 0)).astype(np.float32)
@@ -163,26 +195,19 @@ def port_aum_state_dict(
             jnp.asarray(pos.astype(np.float32)), cfg.patch_grid, grid_load,
             cfg.num_prefix_tokens))
 
-    layers = _stack_layers([
-        {
-            "norm_weight": sd[f"layers.{i}.norm.weight"],
-            **{f"mixer/{k}": v for k, v in
-               _mixer_params(sd, f"layers.{i}.mixer.", bt).items()},
-        }
-        for i in range(depth)
-    ])
-    block = {"norm_weight": layers.pop("norm_weight"),
-             "mixer": {k.split("/", 1)[1]: v for k, v in layers.items()}}
-
     params = {
         "patch_embed": {"proj_weight": kernel,
                         "proj_bias": proj_b.astype(np.float32)},
         "pos_embed": {"pos_embed": pos.astype(np.float32)},
         "norm_f_weight": sd["norm_f.weight"].astype(np.float32),
-        "layers": {"block": block},
+        "layers": _port_layers(sd, depth, bt, cfg.if_bidirectional),
     }
     if cfg.if_cls_token:
-        params["cls_token"] = sd["cls_token"].astype(np.float32)
+        if cfg.use_double_cls_token:
+            params["cls_token_head"] = sd["cls_token_head"].astype(np.float32)
+            params["cls_token_tail"] = sd["cls_token_tail"].astype(np.float32)
+        else:
+            params["cls_token"] = sd["cls_token"].astype(np.float32)
 
     if ("head.weight" in sd
             and sd["head.weight"].shape[0] == cfg.num_classes):
@@ -229,24 +254,14 @@ def port_vim_imagenet_state_dict(
             jnp.asarray(pos), cfg.patch_grid, grid_load,
             cfg.num_prefix_tokens))
 
-    # Reuse the AuM porter for the rest of the layout translation; pin
-    # strides so grid inference is skipped by making it consistent.
-    ported = port_aum_state_dict(
-        sd, cfg,
-        pretrain_fstride=None, pretrain_tstride=None,
-    ) if _grid_inferrable(sd, cfg) else _port_without_grid_inference(sd, cfg)
-    return ported
-
-
-def _grid_inferrable(sd, cfg) -> bool:
-    try:
-        proj_w = sd["patch_embed.proj.weight"]
-        ps = tuple(proj_w.shape[-2:])
-        infer_pretrain_grid(sd["pos_embed.pos_embed"], ps, ps,
-                            cfg.num_prefix_tokens)
-        return True
-    except ValueError:
-        return False
+    # The pos-embed was already relocated + resampled to cfg's grid above, so
+    # the rest is pure layout translation. (Routing through
+    # port_aum_state_dict here would RE-infer an audio grid from the
+    # resampled pos-embed — when the token count coincidentally matches some
+    # 128-melbin grid, e.g. 32 tokens ~ an (8,4) length-64 grid, it would
+    # resample a second time from the wrong grid. Caught by
+    # tests/test_ref_parity.py::test_vim_imagenet_surgery_parity.)
+    return _port_without_grid_inference(sd, cfg)
 
 
 def _port_without_grid_inference(sd, cfg) -> Dict:
@@ -257,16 +272,6 @@ def _port_without_grid_inference(sd, cfg) -> Dict:
         raise ValueError(
             f"pos embed has {pos.shape[1]} tokens, expected {expected}")
     depth, bt = cfg.depth, cfg.bimamba_type
-    layers = _stack_layers([
-        {
-            "norm_weight": sd[f"layers.{i}.norm.weight"],
-            **{f"mixer/{k}": v for k, v in
-               _mixer_params(sd, f"layers.{i}.mixer.", bt).items()},
-        }
-        for i in range(depth)
-    ])
-    block = {"norm_weight": layers.pop("norm_weight"),
-             "mixer": {k.split("/", 1)[1]: v for k, v in layers.items()}}
     params = {
         "patch_embed": {
             "proj_weight": np.transpose(
@@ -275,10 +280,14 @@ def _port_without_grid_inference(sd, cfg) -> Dict:
             "proj_bias": sd["patch_embed.proj.bias"].astype(np.float32)},
         "pos_embed": {"pos_embed": pos.astype(np.float32)},
         "norm_f_weight": sd["norm_f.weight"].astype(np.float32),
-        "layers": {"block": block},
+        "layers": _port_layers(sd, depth, bt, cfg.if_bidirectional),
     }
-    if cfg.if_cls_token and "cls_token" in sd:
-        params["cls_token"] = sd["cls_token"].astype(np.float32)
+    if cfg.if_cls_token:
+        if cfg.use_double_cls_token and "cls_token_head" in sd:
+            params["cls_token_head"] = sd["cls_token_head"].astype(np.float32)
+            params["cls_token_tail"] = sd["cls_token_tail"].astype(np.float32)
+        elif "cls_token" in sd:
+            params["cls_token"] = sd["cls_token"].astype(np.float32)
     return {"params": params}
 
 

@@ -94,6 +94,29 @@ def featurize_wavs(paths, args):
     return np.asarray(normalize(fb, conf.mean, conf.std))
 
 
+def reference_logits(args, x):
+    """Golden logits from the ACTUAL reference code on CPU torch.
+
+    Imports /root/reference/src/models/mamba_models.py with oracle-stubbed
+    fused kernels (aum_tpu/convert/ref_runner.py) and lets the reference's
+    own aum_pretrain surgery (mamba_models.py:397-451) load the .pth.
+    """
+    import torch
+
+    from aum_tpu.convert.ref_runner import import_reference_models
+
+    mm = import_reference_models()
+    embed = {"base": 768, "small": 384, "tiny": 192}[args.model_type]
+    bimamba = {"Fo-Fo": "none", "Fo-Bi": "v1", "Bi-Bi": "v2"}[args.aum_type]
+    model = mm.AudioMamba(
+        spectrogram_size=(args.melbins, args.audio_length), depth=24,
+        embed_dim=embed, num_classes=args.n_class, bimamba_type=bimamba,
+        aum_pretrain=True, aum_pretrain_path=args.ckpt)
+    model.eval()
+    with torch.no_grad():
+        return model(torch.from_numpy(np.asarray(x))).float().numpy()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--ckpt", required=True, help="torch .pth checkpoint")
@@ -111,6 +134,11 @@ def main(argv=None):
                         "reference-activation fixtures)")
     p.add_argument("--golden", help="golden .npz with 'logits' to compare")
     p.add_argument("--record-to", help="save computed logits to this .npz")
+    p.add_argument("--ref-parity", action="store_true",
+                   help="also run the ACTUAL reference model code on CPU "
+                        "torch (oracle-stubbed kernels) on the same inputs "
+                        "and compare; with --record-to, the reference "
+                        "logits are what gets recorded")
     p.add_argument("--atol", type=float, default=1e-2,
                    help="logit tolerance vs golden (bf16 + TPU numerics)")
     p.add_argument("--label-csv", help="for top-k display names")
@@ -141,8 +169,20 @@ def main(argv=None):
             print(f"clip {i}: " + ", ".join(
                 f"{names[int(k)]}={scores[i, k]:.3f}" for k in top))
 
+    rc = 0
+    record = logits
+    if args.ref_parity:
+        ref = reference_logits(args, x)
+        err = np.abs(logits - ref).max()
+        print(f"reference-code max|Δlogit| = {err:.5f} (atol {args.atol})")
+        if err > args.atol:
+            print("REF PARITY FAIL")
+            rc = 1
+        else:
+            print("REF PARITY OK")
+        record = ref
     if args.record_to:
-        np.savez(args.record_to, logits=logits, x=x)
+        np.savez(args.record_to, logits=record, x=x)
         print(f"recorded golden -> {args.record_to}")
     if args.golden:
         g = np.load(args.golden)["logits"]
@@ -152,7 +192,7 @@ def main(argv=None):
             print("PARITY FAIL")
             return 1
         print("PARITY OK")
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
