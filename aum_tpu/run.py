@@ -49,6 +49,17 @@ def parse_args(argv=None):
                                   "(orbax dir or torch .pth)")
     p.add_argument("--n-model", type=int, default=1,
                    help="mesh model-axis size (TP)")
+    # Multi-host (multi-process) execution: the reference's `accelerate
+    # launch` equivalent (run.py:32, traintest.py:39). "on" calls
+    # jax.distributed.initialize() so jax.devices() spans every host;
+    # "auto" (default) initializes only when a pod/coordinator environment
+    # is detected. Per-host pipelines + global-batch assembly are automatic.
+    p.add_argument("--multihost", default="auto",
+                   choices=["auto", "on", "off"])
+    p.add_argument("--coordinator-address",
+                   help="host:port of process 0 (non-TPU-pod multihost)")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
     # EPIC-SOUNDS inputs (yaml-config pipeline; run.py:139-158 equivalent)
     p.add_argument("--epic-yaml", help="EPIC config yaml")
     p.add_argument("--epic-hdf5", help="EPIC-KITCHENS audio hdf5")
@@ -189,16 +200,25 @@ def build_model_and_params(cfg, rng, example_x):
 
 def main(argv=None):
     args = parse_args(argv)
+    from aum_tpu.parallel.multihost import maybe_initialize_distributed
+
+    # Before ANY device access, so jax.devices() is the global pod view.
+    maybe_initialize_distributed(
+        args.multihost, coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes, process_id=args.process_id)
+
     from aum_tpu.configs import RECIPES
     from aum_tpu.parallel import make_mesh
+    from aum_tpu.parallel.multihost import globalize_batches
     from aum_tpu.train import Checkpointer, evaluate, make_eval_step, \
         make_optimizer
     from aum_tpu.train.loop import TrainState, init_train_state, train_loop
 
     cfg = apply_overrides(RECIPES[args.recipe], args.set)
-    os.makedirs(args.exp_dir, exist_ok=True)
-    with open(os.path.join(args.exp_dir, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    if jax.process_index() == 0:
+        os.makedirs(args.exp_dir, exist_ok=True)
+        with open(os.path.join(args.exp_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2)
 
     train_pipe, val_pipe, eval_pipe = build_pipelines(cfg, args)
     n_dev = len(jax.devices())
@@ -232,14 +252,16 @@ def main(argv=None):
         if args.run_type == "eval_wa":
             avg = shard_params(jax.tree.map(jnp_asarray, average_params(trees)),
                                mesh)
-            metrics, _, _ = evaluate(eval_step, avg, pipe.batches(),
-                                     cfg.loss, cfg.metrics)
+            metrics, _, _ = evaluate(
+                eval_step, avg, globalize_batches(pipe.batches(), mesh),
+                cfg.loss, cfg.metrics)
             print(json.dumps({"n_models": len(trees), **{
                 k: v for k, v in metrics.items()}}, default=float))
             return metrics
         results = evaluate_ensemble(
             eval_step, [shard_params(t, mesh) for t in trees],
-            lambda: pipe.batches(), cfg.loss, cfg.metrics)
+            lambda: globalize_batches(pipe.batches(), mesh),
+            cfg.loss, cfg.metrics)
         for r in results:
             print(json.dumps(r, default=float))
         return results
@@ -268,13 +290,15 @@ def main(argv=None):
                 loss_fn_of, sigmoid_np
             import numpy as _np
 
+            from aum_tpu.parallel.multihost import to_host_global
+
             outs, tgts, recs = [], [], []
-            for batch in pipe.batches():
-                logits = _np.asarray(eval_step(params, batch["x"]),
-                                     dtype=_np.float32)
+            for batch in globalize_batches(pipe.batches(), mesh):
+                logits = to_host_global(
+                    eval_step(params, batch["x"])).astype(_np.float32)
                 outs.append(sigmoid_np(logits))
-                tgts.append(_np.asarray(batch["y"], dtype=_np.float32))
-                recs.append(_np.asarray(batch["record_index"]))
+                tgts.append(to_host_global(batch["y"]).astype(_np.float32))
+                recs.append(to_host_global(batch["record_index"]))
             scores = _np.concatenate(outs)
             targets = _np.concatenate(tgts)
             rec = _np.concatenate(recs)
@@ -293,12 +317,16 @@ def main(argv=None):
                 "acc" if cfg.metrics == "acc" else "mAP"]
         else:
             metrics, scores, targets = evaluate(
-                eval_step, params, pipe.batches(), cfg.loss, cfg.metrics)
-        print(json.dumps({k: v for k, v in metrics.items()}, default=float))
-        np.savetxt(os.path.join(args.exp_dir, "predictions_eval.csv"),
-                   scores, delimiter=",")
-        with open(os.path.join(args.exp_dir, "stats_eval.pickle"), "wb") as f:
-            pickle.dump(metrics, f)
+                eval_step, params, globalize_batches(pipe.batches(), mesh),
+                cfg.loss, cfg.metrics)
+        if jax.process_index() == 0:
+            print(json.dumps({k: v for k, v in metrics.items()},
+                             default=float))
+            np.savetxt(os.path.join(args.exp_dir, "predictions_eval.csv"),
+                       scores, delimiter=",")
+            with open(os.path.join(args.exp_dir, "stats_eval.pickle"),
+                      "wb") as f:
+                pickle.dump(metrics, f)
         return metrics
 
     assert train_pipe is not None and val_pipe is not None
@@ -321,16 +349,18 @@ def main(argv=None):
 
     from aum_tpu.train.loop import AugmentConfig
 
+    is_main = jax.process_index() == 0
     state, history, best = train_loop(
         model, tx, mesh,
-        train_batches=lambda e: train_pipe.batches(e),
-        eval_batches=lambda: val_pipe.batches(),
+        train_batches=lambda e: globalize_batches(train_pipe.batches(e),
+                                                  mesh),
+        eval_batches=lambda: globalize_batches(val_pipe.batches(), mesh),
         n_epochs=cfg.n_epochs, state=state,
         rng=jax.random.PRNGKey(cfg.seed + 2),
         loss_type=cfg.loss, main_metric=cfg.metrics,
         augment=AugmentConfig(),  # augmentation handled on-device in pipeline
         nan2num=cfg.nan2num, continue_inf=cfg.continue_inf,
-        exp_dir=args.exp_dir, checkpointer=ckptr,
+        exp_dir=args.exp_dir if is_main else None, checkpointer=ckptr,
         accum_steps=cfg.accum_steps,
         flexible_patch_sizes=(list(cfg.flexible_patch_sizes)
                               if cfg.flexible_patch_sizes else None))
