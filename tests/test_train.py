@@ -245,3 +245,69 @@ def test_nonfinite_loss_skip_and_continue_inf():
         train_loop(model, tx, mesh, batches, batches, n_epochs=1,
                    state=state, rng=jax.random.PRNGKey(1), loss_type="CE",
                    main_metric="acc", continue_inf=False, log_every=1)
+
+
+def test_epoch_train_loss_is_exact_mean_of_step_losses(tmp_path):
+    """VERDICT r2 #6: result.csv's train_loss must equal the mean of EVERY
+    per-step loss (device-side loss_sum accumulator), not a log_every
+    subsample; non-finite steps are excluded like the reference's
+    continue-before-AverageMeter (traintest.py:157-165, 171-178)."""
+    from aum_tpu.train.loop import reset_loss_accum, train_loop
+
+    cfg = AudioMambaConfig(
+        depth=1, embed_dim=96, spectrogram_size=(128, 32), num_classes=3,
+        d_state=8)
+    model = AudioMamba(cfg, use_kernel=False)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    hp = TrainHyperParams(lr=1e-3, warmup=False, lrscheduler_start=100)
+    tx = make_optimizer(hp, steps_per_epoch=7)
+
+    rng = np.random.default_rng(5)
+    xs = rng.standard_normal((14, 32, 128)).astype(np.float32)
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 14)]
+
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(xs[:1]), mesh=mesh)
+    step = make_train_step(model, tx, mesh, loss_type="CE",
+                           augment=AugmentConfig(), donate=False)
+
+    # Manually collect every per-step loss.
+    per_step = []
+    st = reset_loss_accum(state)
+    key = jax.random.PRNGKey(1)
+    for i in range(7):
+        key, k = jax.random.split(key)
+        st, loss = step(st, {"x": jnp.asarray(xs[2 * i:2 * i + 2]),
+                             "y": jnp.asarray(ys[2 * i:2 * i + 2])}, k)
+        per_step.append(float(loss))
+    assert int(st.nonfinite_count) == 0
+    np.testing.assert_allclose(float(st.loss_sum) / 7, np.mean(per_step),
+                               rtol=1e-6)
+
+    # Through train_loop with a large log_every (no step ever sampled):
+    # train_loss must still be the exact mean of ALL step losses.
+    def batches(epoch=0):
+        for i in range(7):
+            yield {"x": jnp.asarray(xs[2 * i:2 * i + 2]),
+                   "y": jnp.asarray(ys[2 * i:2 * i + 2])}
+
+    state2, history, _ = train_loop(
+        model, tx, mesh, batches, batches, n_epochs=1, state=state,
+        rng=jax.random.PRNGKey(1), loss_type="CE", main_metric="acc",
+        log_every=1000, exp_dir=str(tmp_path))
+    # The loop's rng split sequence matches the manual one above, and
+    # augmentation is off, so the losses are identical.
+    np.testing.assert_allclose(history[0]["train_loss"],
+                               np.mean(per_step), rtol=1e-6)
+
+    # A poisoned step is excluded from the mean and counted.
+    st = reset_loss_accum(state)
+    st, _ = step(st, {"x": jnp.asarray(xs[:2]), "y": jnp.asarray(ys[:2])},
+                 jax.random.PRNGKey(2))
+    good = float(st.loss_sum)
+    st, loss = step(
+        st, {"x": jnp.full((2, 32, 128), np.inf, np.float32),
+             "y": jnp.asarray(ys[:2])}, jax.random.PRNGKey(3))
+    assert not np.isfinite(float(loss))
+    assert int(st.nonfinite_count) == 1
+    np.testing.assert_allclose(float(st.loss_sum), good, rtol=1e-7)
