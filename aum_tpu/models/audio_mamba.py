@@ -238,36 +238,36 @@ class AudioMamba(nn.Module):
                         x, token_position=token_position,
                         run_grid_size=run_grid)
 
-        if if_random_token_rank:
-            # Random token shuffle with cls-position tracking
-            # (mamba_models.py:566-590).
-            rng, kperm = jax.random.split(rng)
-            nn_tok = x.shape[1]
-            perm = jax.random.permutation(kperm, nn_tok)
-            x = x[:, perm]
-            pos0 = (dyn_position if dyn_position is not None
-                    else (token_position if token_position is not None
-                          else 0))
-            dyn_position = jnp.argmax(perm == pos0)
-
-        if flip_sequence_prob > 0:
-            # flip_img_sequences_ratio (mamba_models.py:596-599): flip the
-            # whole token sequence with the given probability.
-            rng, kflip = jax.random.split(rng)
-            do_flip = jax.random.uniform(kflip, ()) < flip_sequence_prob
-            x = jnp.where(do_flip, x[:, ::-1], x)
-            if dyn_position is None and token_position is not None                     and not isinstance(token_position, (list, tuple)):
-                dyn_position = jnp.where(
-                    do_flip, x.shape[1] - 1 - token_position,
-                    token_position)
-            elif dyn_position is not None:
-                dyn_position = jnp.where(
-                    do_flip, x.shape[1] - 1 - dyn_position, dyn_position)
-
         if cfg.transpose_token_sequence:
             # F-major -> T-major patch order (mamba_models.py:543-562):
             # remove prefix tokens, transpose the (F', T') grid, re-insert.
+            # Applied BEFORE shuffle/flip, matching the reference's order
+            # (transpose :543 < shuffle :564 < flip :593).
             x = _transpose_tokens(x, grid, token_position)
+
+        if if_random_token_rank:
+            # Random token shuffle with cls-position tracking
+            # (mamba_models.py:566-590; the reference tracks list positions
+            # for double-cls too, :578-584).
+            rng, kperm = jax.random.split(rng)
+            perm = jax.random.permutation(kperm, x.shape[1])
+            x = x[:, perm]
+            token_position, dyn_position = _track_shuffle(
+                perm, token_position, dyn_position)
+
+        if flip_sequence_prob > 0:
+            # flip_img_sequences_ratio (mamba_models.py:596-599): flip the
+            # whole token sequence with the given probability. The reference
+            # does not retarget list (double-cls) positions on flip — it
+            # doesn't need to: the [0, N-1] prefix pair maps to itself and
+            # the (head+tail)/2 readout is symmetric. Shuffled double-cls
+            # positions ARE retargeted below (i -> N-1-i), which the
+            # reference-with-shuffle+flip combination would require too.
+            rng, kflip = jax.random.split(rng)
+            do_flip = jax.random.uniform(kflip, ()) < flip_sequence_prob
+            x = jnp.where(do_flip, x[:, ::-1], x)
+            token_position, dyn_position = _track_flip(
+                do_flip, x.shape[1], token_position, dyn_position)
 
         # Effective remat granularity (see AudioMambaConfig.remat_mode).
         if not cfg.remat:
@@ -434,6 +434,45 @@ class _BlockPair(nn.Module):
         hidden = h_f + h_b[:, ::-1]
         residual = r_f + r_b[:, ::-1]
         return (hidden, residual), None
+
+
+def _track_shuffle(perm, token_position, dyn_position):
+    """Position bookkeeping for ``x -> x[:, perm]`` (the random token
+    shuffle, mamba_models.py:566-590): the token formerly at position p now
+    sits at ``argmax(perm == p)``. Double-cls list positions are tracked
+    per element (reference :578-584); scalar positions (static, random-cls,
+    or already-traced) collapse into ``dyn_position``. Returns the updated
+    ``(token_position, dyn_position)`` pair. Pure — unit-tested with marker
+    tokens in tests/test_model.py."""
+    if isinstance(token_position, (list, tuple)):
+        return ([jnp.argmax(perm == p) for p in token_position],
+                dyn_position)
+    pos0 = (dyn_position if dyn_position is not None
+            else (token_position if token_position is not None else 0))
+    return token_position, jnp.argmax(perm == pos0)
+
+
+def _track_flip(do_flip, n_tok, token_position, dyn_position):
+    """Position bookkeeping for the conditional whole-sequence flip
+    (flip_img_sequences_ratio, mamba_models.py:596-599): position p maps to
+    ``n_tok - 1 - p`` when ``do_flip``. Static double-cls positions
+    [0, n-1] are left alone — the pair maps to itself and the
+    (head+tail)/2 readout is symmetric, matching the reference (which never
+    retargets on flip); traced (post-shuffle) double-cls positions ARE
+    retargeted, which the reference's shuffle+flip combination would
+    require too. Returns the updated ``(token_position, dyn_position)``."""
+    if isinstance(token_position, (list, tuple)):
+        if any(not isinstance(p, int) for p in token_position):
+            token_position = [jnp.where(do_flip, n_tok - 1 - p, p)
+                              for p in token_position]
+        return token_position, dyn_position
+    if dyn_position is not None:
+        return token_position, jnp.where(
+            do_flip, n_tok - 1 - dyn_position, dyn_position)
+    if token_position is not None:
+        return token_position, jnp.where(
+            do_flip, n_tok - 1 - token_position, token_position)
+    return token_position, dyn_position
 
 
 def _transpose_tokens(x, grid, token_position):
