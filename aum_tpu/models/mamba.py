@@ -30,6 +30,7 @@ the GPT-2 1/sqrt(n_layer) out_proj rescale (mamba_models.py:143-172).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -148,8 +149,10 @@ class MambaMixer(nn.Module):
         return conv_w, conv_b, x_proj, dt_w, dt_b, a_log, dsk
 
     def _branch_activations(self, x, params, reverse_conv: bool):
-        """conv -> x/dt projections (shared pre-scan activations)."""
-        conv_w, conv_b, x_proj, dt_w, _, _, _ = params
+        """conv -> x projection (shared pre-scan activations); returns the
+        raw (B, L, R) dt-rank slice — the dt_proj matmul is applied by
+        pre_fn (XLA path) or folded into the scan kernel (dt_fold)."""
+        conv_w, conv_b, x_proj, _, _, _, _ = params
         xc = causal_conv1d(
             x, conv_w.astype(self.dtype),
             None if conv_b is None else conv_b.astype(self.dtype),
@@ -158,17 +161,18 @@ class MambaMixer(nn.Module):
         if self.model_axis is not None:
             # TP: x_proj contracts the sharded d_inner -- reduce partials.
             x_dbl = jax.lax.psum(x_dbl, self.model_axis)
-        dt_in = x_dbl[..., : self.rank] @ dt_w.astype(self.dtype)
+        dtr = x_dbl[..., : self.rank]
         bm = x_dbl[..., self.rank: self.rank + self.d_state]
         cm = x_dbl[..., self.rank + self.d_state:]
-        return xc, dt_in, bm, cm
+        return xc, dtr, bm, cm
 
-    def _scan_args(self, acts, z, params, a_log_override=None):
-        xc, dt_in, bm, cm = acts
+    def _scan_args(self, delta, acts, z, params, a_log_override=None):
+        """delta is None when the dt_proj matmul is folded into the kernel."""
+        xc, _, bm, cm = acts
         _, _, _, _, dt_b, a_log, dsk = params
         a_log_use = a_log if a_log_override is None else a_log_override
         a = -jnp.exp(a_log_use.astype(jnp.float32))
-        return (xc, dt_in, a, bm, cm, dsk.astype(jnp.float32), z,
+        return (xc, delta, a, bm, cm, dsk.astype(jnp.float32), z,
                 dt_b.astype(jnp.float32))
 
     @nn.compact
@@ -213,6 +217,17 @@ class MambaMixer(nn.Module):
             raise ValueError(f"unknown bimamba_type: {self.bimamba_type}")
 
         use_dual = self.use_kernel is not False  # fused bidirectional kernel
+        # dt_fold: stream the dt-rank slice and run the dt_proj matmul +
+        # softplus inside the dual kernel (MXU work in the VPU kernel; no
+        # (B, L, D) dt tensor in HBM on the eval path — VERDICT r2 #2).
+        # MEASURED SLOWER on v5e eval (interleaved A/B, B=64 bench:
+        # 416.6/418.1 clips/s unfused vs 400.9/401.6 fused, ~-4%): the
+        # in-kernel per-chunk (L_c,R)@(R,d_b) matmul + softplus costs more
+        # VPU-serial time than the saved dt HBM streams — the scan is
+        # issue-bound, not dt-bandwidth-bound (docs/ROOFLINE.md "Fused
+        # dt_proj"). OFF by default; AUM_SCAN_FUSE_DT=1 opts in.
+        fold_dt = (use_dual and self.bimamba_type in ("v1", "v2")
+                   and os.environ.get("AUM_SCAN_FUSE_DT", "0") == "1")
         x = x.astype(self.dtype)
 
         def pre_fn(x, in_x_w, in_z_w, in_b, fwd_p, a_b, bwd_p):
@@ -224,20 +239,30 @@ class MambaMixer(nn.Module):
                 xs = xs + in_b[0].astype(self.dtype)
                 z = z + in_b[1].astype(self.dtype)
             acts = self._branch_activations(xs, fwd_p, reverse_conv=False)
+            delta = (None if fold_dt
+                     else acts[1] @ fwd_p[3].astype(self.dtype))
             if self.bimamba_type == "v1":
-                return (self._scan_args(acts, z, fwd_p),
-                        self._scan_args(acts, z, fwd_p, a_log_override=a_b))
+                fold = (((acts[1], fwd_p[3].astype(self.dtype)),) * 2
+                        if fold_dt else None)
+                return (self._scan_args(delta, acts, z, fwd_p),
+                        self._scan_args(delta, acts, z, fwd_p,
+                                        a_log_override=a_b), fold)
             if self.bimamba_type == "v2":
                 acts_b = self._branch_activations(xs, bwd_p,
                                                   reverse_conv=True)
-                return (self._scan_args(acts, z, fwd_p),
-                        self._scan_args(acts_b, z, bwd_p))
-            return (self._scan_args(acts, z, fwd_p), None)
+                delta_b = (None if fold_dt
+                           else acts_b[1] @ bwd_p[3].astype(self.dtype))
+                fold = (((acts[1], fwd_p[3].astype(self.dtype)),
+                         (acts_b[1], bwd_p[3].astype(self.dtype)))
+                        if fold_dt else None)
+                return (self._scan_args(delta, acts, z, fwd_p),
+                        self._scan_args(delta_b, acts_b, z, bwd_p), fold)
+            return (self._scan_args(delta, acts, z, fwd_p), None, None)
 
         pre = (jax.checkpoint(pre_fn, prevent_cse=False) if self.split_remat
                else pre_fn)
-        args_f, args_r = pre(x, in_proj_x, in_proj_z, in_bias, fwd_params,
-                             a_b_log, bwd_params)
+        args_f, args_r, dt_fold = pre(x, in_proj_x, in_proj_z, in_bias,
+                                      fwd_params, a_b_log, bwd_params)
 
         def scan_one(args, reverse):
             u, delta, a, bm, cm, dsk, z, dt_b = args
@@ -250,7 +275,8 @@ class MambaMixer(nn.Module):
             y = scan_one(args_f, reverse=False)
         else:
             if use_dual:
-                y_f, y_b = selective_scan_dual(args_f, args_r)
+                y_f, y_b = selective_scan_dual(args_f, args_r,
+                                               dt_fold=dt_fold)
             else:
                 y_f = scan_one(args_f, reverse=False)
                 y_b = scan_one(args_r, reverse=True)

@@ -1097,6 +1097,10 @@ def _prep(u, delta, A, B, C, D, z, delta_bias, d_block_target, l_chunk_target,
 
     a_t = jnp.swapaxes(A.astype(jnp.float32), 0, 1)  # (N_pad, D)
     dsk = D.astype(jnp.float32)[None, :]
+    if delta is None:
+        # In-kernel dt_proj mode (dt_fold): the kernel computes dt itself;
+        # only the non-dt operands need prep.
+        return u, None, a_t, B, C, dsk, z, d_block, l_chunk, l, n
     dt32 = delta.astype(jnp.float32)
     if delta_bias is not None:
         dt32 = dt32 + delta_bias.astype(jnp.float32)[None, None, :]
@@ -1141,6 +1145,8 @@ _ARG_FACTORS = {
     "bc_sum": "b l n",   # output reduced over d  -> psum over model axes
     "at_sum": "n d",     # output reduced over b,l -> psum over data axes
     "vec_sum": "o d",    # output reduced over b,l -> psum over data axes
+    "dtr": "b l r",      # (B, L, R_pad) dt-rank slice (in-kernel dt_proj)
+    "wdt": "r d",        # (R_pad, D) dt_proj weight (d over model axes)
 }
 
 
@@ -1157,6 +1163,8 @@ def _kind_spec(kind: str, b_ax, d_ax):
         "bc_sum": P(b_ax, None, None),
         "at_sum": P(None, d_ax),
         "vec_sum": P(None, d_ax),
+        "dtr": P(b_ax, None, None),
+        "wdt": P(None, d_ax),
     }[kind]
 
 
@@ -1334,6 +1342,26 @@ def _get_dual_fwd_op(save_states: bool, d_block_target: int, l_chunk: int,
     return _make_partitioned(
         fun, _FWD_KINDS * 2,
         ["seq", "seq", "xb", "xb"] if save_states else ["seq", "seq"])
+
+
+_FDT_KINDS = ["seq", "dtr", "at", "bc", "bc", "vec", "seq"]
+
+
+@functools.lru_cache(maxsize=None)
+def _get_dual_fdt_op(d_block_target: int, l_chunk: int, interpret: bool):
+    """Dual forward with in-kernel dt_proj (eval path; no state saving)."""
+
+    def fun(*args18):  # 7 f-args, 7 r-args, wdt_f, bias_f, wdt_r, bias_r
+        outf, outr, _, _ = _fwd_pallas_dual(
+            args18[:7], args18[7:14], save_states=False,
+            d_block=d_block_target, l_chunk=l_chunk, interpret=interpret,
+            fuse_y=True, inline_decay=True, dt_fold=args18[14:])
+        return outf, outr
+
+    if not _partition_enabled():
+        return fun
+    return _make_partitioned(
+        fun, _FDT_KINDS * 2 + ["wdt", "vec", "wdt", "vec"], ["seq", "seq"])
 
 
 def _train_l_target(l_chunk_target: int) -> int:
@@ -1564,12 +1592,18 @@ def selective_scan(
 def _fwd_kernel_dual(
     uf_ref, df_ref, atf_ref, bf_ref, cf_ref, dskf_ref, zf_ref,
     ur_ref, dr_ref, atr_ref, br_ref, cr_ref, dskr_ref, zr_ref,
-    outf_ref, outr_ref, xbf_ref, xbr_ref,
-    statef_ref, stater_ref, af_scr, ar_scr,
-    xf_scr, xr_scr, dtuf_scr, dtur_scr, bfm_scr, brm_scr, *extra_scr,
+    *rest,
     l_chunk: int, save_states: bool, seq_len: int, fuse_y: bool = False,
-    inline_decay: bool = False,
+    inline_decay: bool = False, fuse_dt: bool = False,
 ):
+    if fuse_dt:
+        # Four extra *input* refs (pallas passes inputs before outputs):
+        # per-direction dt_proj weight (R_pad, d_b) and bias (1, d_b).
+        wdtf_ref, dbf_ref, wdtr_ref, dbr_ref, *rest = rest
+    (outf_ref, outr_ref, xbf_ref, xbr_ref,
+     statef_ref, stater_ref, af_scr, ar_scr,
+     xf_scr, xr_scr, dtuf_scr, dtur_scr, bfm_scr, brm_scr,
+     *extra_scr) = rest
     l = pl.program_id(2)
 
     @pl.when(l == 0)
@@ -1597,10 +1631,39 @@ def _fwd_kernel_dual(
     mr = _pos_mask(n_l - 1 - l, l_chunk, seq_len, ur_ref.shape)
     uf = uf_ref[...].astype(jnp.float32)              # (b_t,L_c,d_b)
     ur = _mask0(mr, ur_ref[...].astype(jnp.float32))
-    # dt arrives pre-activated (softplus(delta+bias) fused into the dt_proj
-    # matmul epilogue by XLA — see _prep); only the reverse branch masks it.
-    dtf = df_ref[...].astype(jnp.float32)
-    dtr = _mask0(mr, dr_ref[...].astype(jnp.float32))
+    if fuse_dt:
+        # In-kernel dt_proj (VERDICT r2 #2 — MXU work folded into the VPU
+        # kernel): df/dr stream the (b_t, L_c, R_pad) x_dbl dt-rank slice
+        # instead of a (b_t, L_c, d_b) activated dt. The (L_c, R_pad) @
+        # (R_pad, d_b) matmul runs on the MXU (idle in this kernel
+        # otherwise) and softplus(· + bias) is applied in fp32 here. Kills
+        # the dt HBM streams: the XLA-side (B, L, D) dt materialization and
+        # the kernel's two full-tensor dt reads (~300 MB/layer at base
+        # eval shapes) are replaced by two (B, L, R_pad) reads (~17 MB).
+        # Costs back the two softplus passes the round-2 hoist removed
+        # (~3 ms/step at B=64) — net measured on-chip, see ROOFLINE.md.
+        wf = wdtf_ref[...].astype(jnp.float32)         # (R_pad, d_b)
+        wr = wdtr_ref[...].astype(jnp.float32)
+        badf = dbf_ref[...].astype(jnp.float32)        # (1, d_b)
+        badr = dbr_ref[...].astype(jnp.float32)
+        rf = df_ref[...].astype(jnp.float32)           # (b_t, L_c, R_pad)
+        rr = dr_ref[...].astype(jnp.float32)
+        bt_, lc_, rp_ = rf.shape
+        db_ = wf.shape[1]
+        dtf = _softplus(
+            jax.lax.dot(rf.reshape(bt_ * lc_, rp_), wf,
+                        preferred_element_type=jnp.float32)
+            .reshape(bt_, lc_, db_) + badf[None])
+        dtr = _mask0(mr, _softplus(
+            jax.lax.dot(rr.reshape(bt_ * lc_, rp_), wr,
+                        preferred_element_type=jnp.float32)
+            .reshape(bt_, lc_, db_) + badr[None]))
+    else:
+        # dt arrives pre-activated (softplus(delta+bias) fused into the
+        # dt_proj matmul epilogue by XLA — see _prep); only the reverse
+        # branch masks it.
+        dtf = df_ref[...].astype(jnp.float32)
+        dtr = _mask0(mr, dr_ref[...].astype(jnp.float32))
 
     # exp(dt·A) as exp2((dt·log2e)·A): folding log2(e) into the (L_c, d_b)
     # dt factor skips the hidden per-(L_c, N, d_b) multiply inside exp's
@@ -1800,13 +1863,21 @@ def _fwd_kernel_dual_direct(
 
 def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
                      interpret, b_tile=None, fuse_y=True,
-                     inline_decay=False, direct=False):
+                     inline_decay=False, direct=False, dt_fold=None):
     """args_f/args_r: (u, dt, a_t, bm, cm, dsk, z) per direction, dt
     pre-activated (see _prep). Forward direction scans chunks
-    left->right, reverse right->left."""
+    left->right, reverse right->left.
+
+    dt_fold = (wdt_f, bias_f, wdt_r, bias_r) switches on in-kernel dt_proj:
+    the dt slot of args_f/args_r then carries the (B, L, R_pad) x_dbl
+    dt-rank slice and the kernel computes softplus(dtr @ wdt + bias) itself
+    (see _fwd_kernel_dual). Requires fuse_y + inline_decay (the production
+    configuration)."""
+    fuse_dt = dt_fold is not None
     u = args_f[0]
     bsz, seq_len, d = u.shape
     n_pad = args_f[2].shape[0]
+    r_pad = args_f[1].shape[-1] if fuse_dt else None
     d_block = _pick_d_block(d, d_block)  # d_block arg is the *target*
     n_d = d // d_block
     n_l = -(-seq_len // l_chunk)  # cdiv; last chunk may overhang
@@ -1853,14 +1924,21 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         bc = pl.BlockSpec((b_tile, l_chunk, n_pad),
                           lambda di, bi, li: (bi, lmap(li), 0),
                           memory_space=pltpu.VMEM)
-        return seq, bc
+        if not fuse_dt:
+            return seq, bc, seq  # dt streams like a sequence tensor
+        dtr = pl.BlockSpec((b_tile, l_chunk, r_pad),
+                           lambda di, bi, li: (bi, lmap(li), 0),
+                           memory_space=pltpu.VMEM)
+        return seq, bc, dtr
 
     at_spec = pl.BlockSpec((n_pad, d_block), lambda di, bi, li: (0, di),
                            memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, d_block), lambda di, bi, li: (0, di),
                             memory_space=pltpu.VMEM)
-    seq_f, bc_f = spec_of(False)
-    seq_r, bc_r = spec_of(True)
+    seq_f, bc_f, dt_f = spec_of(False)
+    seq_r, bc_r, dt_r = spec_of(True)
+    wdt_spec = (pl.BlockSpec((r_pad, d_block), lambda di, bi, li: (0, di),
+                             memory_space=pltpu.VMEM) if fuse_dt else None)
 
     def xb_spec(rev):
         del rev
@@ -1888,13 +1966,16 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
 
     if inline_decay and not fuse_y:
         raise ValueError("inline_decay requires fuse_y")
+    if fuse_dt and (direct or not (fuse_y and inline_decay)):
+        raise ValueError("dt_fold requires the fuse_y+inline_decay kernel")
     if direct:
         kernel = functools.partial(_fwd_kernel_dual_direct, l_chunk=l_chunk,
                                    save_states=save_states, seq_len=seq_len)
     else:
         kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
                                    save_states=save_states, seq_len=seq_len,
-                                   fuse_y=fuse_y, inline_decay=inline_decay)
+                                   fuse_y=fuse_y, inline_decay=inline_decay,
+                                   fuse_dt=fuse_dt)
     cost = pl.CostEstimate(
         flops=20 * bsz * seq_len * d * n_pad,
         bytes_accessed=8 * bsz * seq_len * d * 4,
@@ -1936,18 +2017,23 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         # kernel's declared scratch is only the two carry states).
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20)
+    in_specs = [seq_f, dt_f, at_spec, bc_f, bc_f, vec_spec, seq_f,
+                seq_r, dt_r, at_spec, bc_r, bc_r, vec_spec, seq_r]
+    args = list(args_f) + list(args_r)
+    if fuse_dt:
+        in_specs += [wdt_spec, vec_spec, wdt_spec, vec_spec]
+        args += list(dt_fold)
     outs = pl.pallas_call(
         kernel,
         grid=(n_d, n_b, n_l),
-        in_specs=[seq_f, seq_f, at_spec, bc_f, bc_f, vec_spec, seq_f,
-                  seq_r, seq_r, at_spec, bc_r, bc_r, vec_spec, seq_r],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=interpret,
         **kw,
-    )(*args_f, *args_r)
+    )(*args)
     return outs  # out_f, out_r, xb_f, xb_r
 
 
@@ -2004,47 +2090,147 @@ def _make_dual_scan(d_block_target: int, l_chunk_target: int,
         return (outf, outr), res
 
     def dual_bwd(res, gout):
-        argsf, argsr, xbf, xbr, dbt, l_chunk, l, nf, nr = res
-        gf, gr = gout
-        n_pad = argsf[2].shape[0]
+        return _dual_bwd_impl(res, gout, interpret)
 
-        def finish(o8, args, n):
-            du, ddelta, dz, dat, ddsk, dbias, dbsum, dcsum = o8
-            dA = jnp.swapaxes(dat, 0, 1)[:, :n]
-            dB = dbsum[..., :n].astype(args[3].dtype)
-            dC = dcsum[..., :n].astype(args[4].dtype)
-            return (du, ddelta, dA, dB, dC, ddsk[0], dz, dbias[0])
+    dual.defvjp(dual_fwd, dual_bwd)
+    return dual
 
-        if _env_int("AUM_SCAN_DUAL_BWD", 0):
-            # One fused backward kernel interleaving both adjoint chains
-            # (BiMambaInnerFn.backward, selective_scan_interface.py:519-603).
-            # ~2x the scoped VMEM of a single-direction pass -> smaller
-            # calibrated d-tile target. MEASURED SLOWER than the two-pass
-            # backward on v5e (B=12 base train step: 235.6 ms fused vs
-            # 208.4 ms two-pass; the halved d-tile (128 vs 256) costs more
-            # than the interleaved chains save), so OFF by default —
-            # AUM_SCAN_DUAL_BWD=1 opts in.
-            budget = int(_scoped_vmem_budget() / (16.8 * l_chunk * n_pad * 4))
-            bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
-                                  min(dbt, max(128, (budget // 128) * 128)))
-            op = _get_dual_bwd_op(bwd_target, l_chunk, interpret)
-            outs = op(*argsf, *argsr, gf, gr, xbf, xbr)
-            return finish(outs[:8], argsf, nf) + finish(outs[8:], argsr, nr)
 
-        # Two sequential single-direction passes (AUM_SCAN_DUAL_BWD=0).
-        fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
-        eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
-        budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
+def _dual_bwd_impl(res, gout, interpret):
+    """Shared dual-scan backward: two checkpointed adjoint passes (or the
+    measured-slower fused dual kernel behind AUM_SCAN_DUAL_BWD). Returns
+    the 8 forward-direction grads + the 8 reverse-direction grads."""
+    argsf, argsr, xbf, xbr, dbt, l_chunk, l, nf, nr = res
+    gf, gr = gout
+    n_pad = argsf[2].shape[0]
+
+    def finish(o8, args, n):
+        du, ddelta, dz, dat, ddsk, dbias, dbsum, dcsum = o8
+        dA = jnp.swapaxes(dat, 0, 1)[:, :n]
+        dB = dbsum[..., :n].astype(args[3].dtype)
+        dC = dcsum[..., :n].astype(args[4].dtype)
+        return (du, ddelta, dA, dB, dC, ddsk[0], dz, dbias[0])
+
+    if _env_int("AUM_SCAN_DUAL_BWD", 0):
+        # One fused backward kernel interleaving both adjoint chains
+        # (BiMambaInnerFn.backward, selective_scan_interface.py:519-603).
+        # ~2x the scoped VMEM of a single-direction pass -> smaller
+        # calibrated d-tile target. MEASURED SLOWER than the two-pass
+        # backward on v5e (B=12 base train step: 235.6 ms fused vs
+        # 208.4 ms two-pass; the halved d-tile (128 vs 256) costs more
+        # than the interleaved chains save), so OFF by default —
+        # AUM_SCAN_DUAL_BWD=1 opts in.
+        budget = int(_scoped_vmem_budget() / (16.8 * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
+        op = _get_dual_bwd_op(bwd_target, l_chunk, interpret)
+        outs = op(*argsf, *argsr, gf, gr, xbf, xbr)
+        return finish(outs[:8], argsf, nf) + finish(outs[8:], argsr, nr)
 
-        def one(args, xb, g, reverse, n):
-            up, dtp, a_t, bp, cp, dsk, zp = args
-            op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused)
-            return finish(op(up, dtp, a_t, bp, cp, dsk, zp, g, xb),
-                          args, n)
+    # Two sequential single-direction passes (AUM_SCAN_DUAL_BWD=0).
+    fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
+    eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
+    budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
+    bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
+                          min(dbt, max(128, (budget // 128) * 128)))
 
-        return one(argsf, xbf, gf, False, nf) + one(argsr, xbr, gr, True, nr)
+    def one(args, xb, g, reverse, n):
+        up, dtp, a_t, bp, cp, dsk, zp = args
+        op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused)
+        return finish(op(up, dtp, a_t, bp, cp, dsk, zp, g, xb),
+                      args, n)
+
+    return one(argsf, xbf, gf, False, nf) + one(argsr, xbr, gr, True, nr)
+
+
+@functools.cache
+def _make_dual_scan_fdt(d_block_target: int, l_chunk_target: int,
+                        interpret: bool):
+    """Dual scan with the dt_proj matmul folded into the forward kernel.
+
+    Primal (eval): streams the (B, L, R) dt-rank slice and computes
+    softplus(dtr @ wdt + bias) in-kernel (fp32 matmul on the MXU) — no
+    (B, L, D) dt tensor ever exists. Under AD the fwd rule materializes
+    delta in XLA instead (the residuals and the proven streamed-dt backward
+    need it anyway; same cost as the un-folded path) and the bwd rule
+    chain-rules the matmul: ddtr = ddelta @ W^T, dW = dtrᵀ @ ddelta.
+    Eval-vs-train numerics differ by the matmul accumulation (fp32
+    in-kernel vs the model-dtype XLA matmul) — the eval side is the more
+    precise one."""
+
+    def _pad_r(rt, w):
+        r = rt.shape[-1]
+        r_pad = max(128, _round_up(r, 128))
+        if r_pad != r:
+            rt = jnp.pad(rt, [(0, 0), (0, 0), (0, r_pad - r)])
+            w = jnp.pad(w, [(0, r_pad - r), (0, 0)])
+        return rt, w
+
+    @jax.custom_vjp
+    def dual(uf, rtf, wdtf, af, bf, cf, dskf, zf, biasf,
+             ur, rtr, wdtr, ar, br, cr, dskr, zr, biasr):
+        pf = _prep(uf, None, af, bf, cf, dskf, zf, None,
+                   d_block_target, l_chunk_target)
+        pr = _prep(ur, None, ar, br, cr, dskr, zr, None,
+                   d_block_target, l_chunk_target)
+        (upf, _, atf, bpf, cpf, dskpf, zpf, dbt, l_chunk, l, _) = pf
+        (upr, _, atr, bpr, cpr, dskpr, zpr, *_r) = pr
+        rtfp, wfp = _pad_r(rtf, wdtf)
+        rtrp, wrp = _pad_r(rtr, wdtr)
+        op = _get_dual_fdt_op(dbt, l_chunk, interpret)
+        return op(upf, rtfp, atf, bpf, cpf, dskpf, zpf,
+                  upr, rtrp, atr, bpr, cpr, dskpr, zpr,
+                  wfp, biasf.astype(jnp.float32)[None, :],
+                  wrp, biasr.astype(jnp.float32)[None, :])
+
+    def dual_fwd(uf, rtf, wdtf, af, bf, cf, dskf, zf, biasf,
+                 ur, rtr, wdtr, ar, br, cr, dskr, zr, biasr):
+        df = rtf @ wdtf
+        dr = rtr @ wdtr
+        l_target = _train_l_target(l_chunk_target)
+        pf = _prep(uf, df, af, bf, cf, dskf, zf, biasf,
+                   d_block_target, l_target)
+        pr = _prep(ur, dr, ar, br, cr, dskr, zr, biasr,
+                   d_block_target, l_target)
+        (upf, dtpf, atf, bpf, cpf, dskpf, zpf,
+         dbt, l_chunk, l, nf) = pf
+        (upr, dtpr, atr, bpr, cpr, dskpr, zpr,
+         _db2, _lc2, _l2, nr) = pr
+        fuse_y = _env_int("AUM_SCAN_FUSED_Y", 1) != 0
+        inline_decay = fuse_y and _env_int("AUM_SCAN_INLINE_DECAY", 1) != 0
+        op = _get_dual_fwd_op(True, dbt, l_chunk, interpret, fuse_y,
+                              inline_decay, False)
+        outf, outr, xbf, xbr = op(
+            upf, dtpf, atf, bpf, cpf, dskpf, zpf,
+            upr, dtpr, atr, bpr, cpr, dskpr, zpr)
+        res = (pf[:7], pr[:7], xbf, xbr, dbt, l_chunk, l, nf, nr,
+               rtf, wdtf, rtr, wdtr)
+        return (outf, outr), res
+
+    def dual_bwd(res, gout):
+        rtf, wdtf, rtr, wdtr = res[9:]
+        g = _dual_bwd_impl(res[:9], gout, interpret)
+        (duf, ddf, dAf, dBf, dCf, ddskf, dzf, dbf) = g[:8]
+        (dur, ddr, dAr, dBr, dCr, ddskr, dzr, dbr) = g[8:]
+
+        def mat_grads(ddelta, rt, w):
+            # precision=HIGHEST: on TPU the fp32 casts alone don't force
+            # fp32 MXU passes (default precision uses bf16 passes —
+            # measured 1e-3 vs 6e-5 grad relerr on-chip,
+            # scripts/smoke_fdt_tpu.py). These contractions are tiny
+            # (R=48), so exact fp32 is free.
+            hi = jax.lax.Precision.HIGHEST
+            dd32 = ddelta.astype(jnp.float32)
+            drt = jnp.einsum("bld,rd->blr", dd32, w.astype(jnp.float32),
+                             precision=hi).astype(rt.dtype)
+            dw = jnp.einsum("blr,bld->rd", rt.astype(jnp.float32),
+                            dd32, precision=hi).astype(w.dtype)
+            return drt, dw
+
+        drtf, dwf = mat_grads(ddf, rtf, wdtf)
+        drtr, dwr = mat_grads(ddr, rtr, wdtr)
+        return (duf, drtf, dwf, dAf, dBf, dCf, ddskf, dzf, dbf,
+                dur, drtr, dwr, dAr, dBr, dCr, ddskr, dzr, dbr)
 
     dual.defvjp(dual_fwd, dual_bwd)
     return dual
@@ -2065,6 +2251,7 @@ def selective_scan_dual(
     l_chunk: int | None = None,
     use_kernel: bool | None = None,
     interpret: bool | None = None,
+    dt_fold: tuple | None = None,
 ):
     """Fused bidirectional selective scan.
 
@@ -2073,11 +2260,23 @@ def selective_scan_dual(
     same tensors in both for bimamba v1; autodiff sums the cotangents).
     Returns (y_fwd, y_rev) — the caller sums them (and halves for
     if_devide_out).
+
+    dt_fold = ((dtr_f, wdt_f), (dtr_r, wdt_r)) folds the dt_proj matmul
+    into the forward kernel (eval hot path): pass the (B, L, R) x_dbl
+    dt-rank slice + the (R, D) dt_proj weight per direction and None in
+    the delta slots; delta_bias keeps its pre-softplus role. Bimamba v1
+    passes the same (dtr, wdt) for both directions.
     """
     if use_kernel is None:
         use_kernel = True
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if dt_fold is not None and (not use_kernel):
+        # jnp fallback: materialize delta and take the standard path.
+        (rtf, wf), (rtr, wr) = dt_fold
+        args_fwd = args_fwd[:1] + (rtf @ wf,) + args_fwd[2:]
+        args_rev = args_rev[:1] + (rtr @ wr,) + args_rev[2:]
+        dt_fold = None
     if not use_kernel:
         uf, df, af, bf, cf, dskf, zf, biasf = args_fwd
         ur, dr, ar, br, cr, dskr, zr, biasr = args_rev
@@ -2100,12 +2299,17 @@ def selective_scan_dual(
         d_block = _env_int("AUM_SCAN_DBLOCK", 768)
     if l_chunk is None:
         l_chunk = _env_int("AUM_SCAN_LCHUNK", 128)
-    dual = _make_dual_scan(d_block, l_chunk, bool(interpret))
     uf, df, af, bf, cf, dskf, zf, biasf = args_fwd
     ur, dr, ar, br, cr, dskr, zr, biasr = args_rev
     if biasf is None:
         biasf = jnp.zeros((uf.shape[-1],), jnp.float32)
     if biasr is None:
         biasr = jnp.zeros((ur.shape[-1],), jnp.float32)
+    if dt_fold is not None:
+        (rtf, wf), (rtr, wr) = dt_fold
+        dual = _make_dual_scan_fdt(d_block, l_chunk, bool(interpret))
+        return dual(uf, rtf, wf, af, bf, cf, dskf, zf, biasf,
+                    ur, rtr, wr, ar, br, cr, dskr, zr, biasr)
+    dual = _make_dual_scan(d_block, l_chunk, bool(interpret))
     return dual(uf, df, af, bf, cf, dskf, zf, biasf,
                 ur, dr, ar, br, cr, dskr, zr, biasr)

@@ -296,3 +296,99 @@ def test_direct_dual_forward_matches_staged(shared, monkeypatch):
     for i, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
                                    err_msg=f"grad #{i}")
+
+
+def _make_fold_inputs(key, bsz=2, l=37, d=24, n=8, r=6, dtype=jnp.float32):
+    """Inputs for the dt_fold (in-kernel dt_proj) path: delta is replaced
+    by the (B, L, R) dt-rank slice + the (R, D) dt_proj weight."""
+    ks = jax.random.split(key, 9)
+    u = jax.random.normal(ks[0], (bsz, l, d), dtype)
+    dtr = jax.random.normal(ks[1], (bsz, l, r), dtype) * 0.5
+    wdt = jax.random.normal(ks[8], (r, d), dtype) * 0.4
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n), jnp.float32) * 0.5)
+    B = jax.random.normal(ks[3], (bsz, l, n), dtype)
+    C = jax.random.normal(ks[4], (bsz, l, n), dtype)
+    D = jax.random.normal(ks[5], (d,), jnp.float32)
+    z = jax.random.normal(ks[6], (bsz, l, d), dtype)
+    bias = jax.random.normal(ks[7], (d,), jnp.float32) * 0.3
+    return u, dtr, wdt, A, B, C, D, z, bias
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_dual_scan_dt_fold_matches_oracle(shared):
+    """In-kernel dt_proj (dt_fold, VERDICT r2 #2): the primal kernel that
+    computes softplus(dtr @ wdt + bias) itself must match the oracle fed
+    the materialized delta."""
+    from aum_tpu.ops.selective_scan import selective_scan_dual
+
+    u, dtr, wdt, A, B, C, D, z, bias = _make_fold_inputs(
+        jax.random.PRNGKey(13))
+    if shared:
+        dtr2, wdt2, A2 = dtr, wdt, A
+    else:
+        dtr2 = jax.random.normal(jax.random.PRNGKey(14), dtr.shape) * 0.5
+        wdt2 = jax.random.normal(jax.random.PRNGKey(15), wdt.shape) * 0.4
+        A2 = A * 0.7
+    args_f = (u, None, A, B, C, D, z, bias)
+    args_r = (u, None, A2, B, C, D, z, bias)
+    yf, yr = selective_scan_dual(args_f, args_r, d_block=8, l_chunk=16,
+                                 dt_fold=((dtr, wdt), (dtr2, wdt2)))
+    rf = selective_scan_ref(u, dtr @ wdt, A, B, C, D, z, bias,
+                            delta_softplus=True)
+    rr = selective_scan_ref(u, dtr2 @ wdt2, A2, B, C, D, z, bias,
+                            delta_softplus=True, reverse=True)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(rf),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dual_scan_dt_fold_grads():
+    """dt_fold grads (shared v1 pattern: one dtr/wdt feeds both
+    directions): the matmul chain rule in dual_bwd must match
+    differentiating the oracle through the explicit matmul."""
+    from aum_tpu.ops.selective_scan import selective_scan_dual
+
+    u, dtr, wdt, A, B, C, D, z, bias = _make_fold_inputs(
+        jax.random.PRNGKey(16), bsz=1, l=21, d=16, n=8, r=4)
+
+    def loss_fold(u, dtr, wdt, A, B, C, D, z, bias):
+        yf, yr = selective_scan_dual(
+            (u, None, A, B, C, D, z, bias), (u, None, A, B, C, D, z, bias),
+            d_block=8, l_chunk=8, dt_fold=((dtr, wdt), (dtr, wdt)))
+        return jnp.sum(jnp.sin(yf + 2 * yr))
+
+    def loss_ref(u, dtr, wdt, A, B, C, D, z, bias):
+        delta = dtr @ wdt
+        yf = selective_scan_ref(u, delta, A, B, C, D, z, bias,
+                                delta_softplus=True)
+        yr = selective_scan_ref(u, delta, A, B, C, D, z, bias,
+                                delta_softplus=True, reverse=True)
+        return jnp.sum(jnp.sin(yf + 2 * yr))
+
+    args = (u, dtr, wdt, A, B, C, D, z, bias)
+    gk = jax.grad(loss_fold, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for name, a_, b_ in zip("u dtr wdt A B C D z bias".split(), gk, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"grad {name}")
+
+
+def test_dual_scan_dt_fold_jnp_fallback():
+    """use_kernel=False with dt_fold materializes delta and matches the
+    kernel path."""
+    from aum_tpu.ops.selective_scan import selective_scan_dual
+
+    u, dtr, wdt, A, B, C, D, z, bias = _make_fold_inputs(
+        jax.random.PRNGKey(17))
+    args = (u, None, A, B, C, D, z, bias)
+    fold = ((dtr, wdt), (dtr, wdt))
+    yf0, yr0 = selective_scan_dual(args, args, d_block=8, l_chunk=16,
+                                   dt_fold=fold)
+    yf1, yr1 = selective_scan_dual(args, args, use_kernel=False,
+                                   dt_fold=fold)
+    np.testing.assert_allclose(np.asarray(yf0), np.asarray(yf1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yr0), np.asarray(yr1),
+                               rtol=2e-5, atol=2e-5)
