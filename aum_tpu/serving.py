@@ -116,6 +116,7 @@ def export_bundle(
     wav_samples: Optional[int] = None,
     mesh=None,
     data_axis: str = "data",
+    model_axis: Optional[str] = None,
     extra_meta: Optional[Dict[str, Any]] = None,
 ) -> bytes:
     """Serialize `model.apply(params, .)` into a serving bundle (zip bytes).
@@ -124,15 +125,23 @@ def export_bundle(
     the default platform of the current process.
 
     mesh: a `jax.sharding.Mesh` for multi-chip serving — the batch is
-    sharded over `data_axis`, params replicated, and GSPMD partitions the
-    graph (the exported artifact then requires the same device count at
-    load time; `ServingModel.predict` must be called under that mesh).
-    Batch sizes must be divisible by the data-axis size. NOTE: multi-chip
-    export requires the model's GSPMD jnp scan path (build the model with
+    sharded over `data_axis`, and GSPMD partitions the graph (the exported
+    artifact then requires the same device count at load time;
+    `ServingModel.predict` must be called under that mesh). Batch sizes
+    must be divisible by the data-axis size. NOTE: multi-chip export
+    requires the model's GSPMD jnp scan path (build the model with
     ``use_kernel=False``): the Pallas kernels' custom_partitioning rules
     are python callbacks, which jax.export cannot serialize
     (jax _export.py:1088 "host_callbacks"). Single-chip exports embed the
     Pallas kernels as Mosaic custom calls and are the fast path.
+
+    model_axis: tensor-parallel serving. When set (and the mesh has that
+    axis with size > 1), params are sharded with the training TP layout —
+    the Mamba mixers' d_inner dimension over `model_axis`
+    (aum_tpu/parallel/mesh.py::param_partition_specs) — instead of
+    replicated, halving (at TP=2) the per-chip weight footprint; the two
+    small psums per mixer ride ICI. The layout is recorded in the manifest
+    and re-applied at load time.
     """
     if include_frontend and wav_samples is None:
         raise ValueError("include_frontend=True requires wav_samples")
@@ -143,12 +152,21 @@ def export_bundle(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         params)
 
+    tp = bool(mesh is not None and model_axis is not None
+              and mesh.shape.get(model_axis, 1) > 1)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         x_sh = NamedSharding(mesh, PartitionSpec(data_axis))
-        p_sh = jax.tree.map(
-            lambda _: NamedSharding(mesh, PartitionSpec()), p_spec)
+        if tp:
+            from aum_tpu.parallel.mesh import param_partition_specs
+
+            specs = param_partition_specs(params, model_axis)
+            p_sh = jax.tree.map(
+                lambda _, s: NamedSharding(mesh, s), p_spec, specs)
+        else:
+            p_sh = jax.tree.map(
+                lambda _: NamedSharding(mesh, PartitionSpec()), p_spec)
         jfwd = jax.jit(fwd, in_shardings=(p_sh, x_sh))
     else:
         jfwd = jax.jit(fwd)
@@ -183,6 +201,11 @@ def export_bundle(
         "n_devices": int(np.prod(list(mesh.shape.values())))
                      if mesh is not None else 1,
         "data_axis": data_axis if mesh is not None else None,
+        # Full mesh shape (ordered axis -> size) + the TP axis, so load_bundle
+        # can rebuild the exact mesh and re-apply the param layout.
+        "mesh_shape": ({k: int(v) for k, v in mesh.shape.items()}
+                       if mesh is not None else None),
+        "model_axis": model_axis if tp else None,
     }
     if extra_meta:
         manifest.update(extra_meta)
@@ -234,6 +257,11 @@ class ServingModel:
         if len(devs) < n:
             raise RuntimeError(
                 f"bundle exported for {n} devices; {len(devs)} available")
+        shape = self.manifest.get("mesh_shape")
+        if shape:  # ordered axis -> size (TP bundles need the full mesh)
+            return Mesh(
+                np.array(devs[:n]).reshape([int(v) for v in shape.values()]),
+                tuple(shape.keys()))
         return Mesh(np.array(devs[:n]), (self.manifest["data_axis"],))
 
     def _run(self, bsz: int, x: jax.Array) -> jax.Array:
@@ -247,8 +275,21 @@ class ServingModel:
             mesh = self._mesh()
             axis = self.manifest["data_axis"]
             if not self._params_placed:
-                self._params = jax.device_put(
-                    self._params, NamedSharding(mesh, PartitionSpec()))
+                tp_axis = self.manifest.get("model_axis")
+                if tp_axis:
+                    # Re-apply the recorded TP layout (d_inner over the
+                    # model axis). Needs only the param-tree paths, not the
+                    # model code — the bundle stays model-stack-free.
+                    from aum_tpu.parallel.mesh import param_partition_specs
+
+                    specs = param_partition_specs(self._params, tp_axis)
+                    self._params = jax.tree.map(
+                        lambda p, s: jax.device_put(
+                            p, NamedSharding(mesh, s)),
+                        self._params, specs)
+                else:
+                    self._params = jax.device_put(
+                        self._params, NamedSharding(mesh, PartitionSpec()))
                 self._params_placed = True
             x = jax.device_put(
                 x, NamedSharding(mesh, PartitionSpec(axis)))

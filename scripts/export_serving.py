@@ -44,6 +44,12 @@ def main():
                    help="auto = Pallas kernels (interpret off-TPU). Pass 0 "
                         "for CPU-platform exports: interpret-mode tracing "
                         "of a depth-24 model is impractically slow")
+    p.add_argument("--n-data", type=int, default=0,
+                   help="multi-chip export: data-axis size (0 = single "
+                        "chip). Requires --use-kernel 0 (GSPMD path).")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="tensor-parallel export: model-axis size (params "
+                        "sharded d_inner over 'model'; see serving.py)")
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args()
 
@@ -85,6 +91,13 @@ def main():
         names = make_name_dict(args.label_csv)
         labels = [names.get(i, str(i)) for i in range(cfg.n_class)]
 
+    mesh = None
+    if args.n_data or args.n_model > 1:
+        from aum_tpu.parallel import make_mesh
+
+        n_model = max(args.n_model, 1)
+        mesh = make_mesh(n_data=args.n_data or None, n_model=n_model)
+
     save_bundle(
         args.out, model, params,
         audio_length=cfg.audio_length, melbins=cfg.melbins,
@@ -95,6 +108,7 @@ def main():
         sample_rate=args.sample_rate,
         wav_samples=(int(args.clip_secs * args.sample_rate)
                      if args.include_frontend else None),
+        mesh=mesh, model_axis="model" if args.n_model > 1 else None,
         extra_meta={"recipe": args.recipe, "variant": cfg.model_type,
                     "aum_type": cfg.aum_type})
     sz = os.path.getsize(args.out)

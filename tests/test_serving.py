@@ -105,6 +105,47 @@ def test_sharded_export_roundtrip(tiny_model):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_tp_sharded_export_roundtrip(tiny_model):
+    """TP serving (VERDICT r2 #9): params exported model-sharded (d_inner
+    over a 2-way 'model' axis, 4-way 'data') on the 8-device CPU mesh; the
+    loaded bundle re-applies the recorded layout and matches the unsharded
+    forward."""
+    from jax.sharding import NamedSharding
+
+    from aum_tpu.parallel.mesh import make_mesh, param_partition_specs
+
+    cfg, model, params = tiny_model
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(n_data=4, n_model=2, devices=devs[:8])
+    model = AudioMamba(cfg, use_kernel=False)  # GSPMD path (see above)
+    blob = export_bundle(model, params, audio_length=64, melbins=32,
+                         batch_sizes=(4, 8), platforms=("cpu",), mesh=mesh,
+                         model_axis="model")
+    sm = load_bundle(blob)
+    assert sm.manifest["n_devices"] == 8
+    assert sm.manifest["model_axis"] == "model"
+    assert sm.manifest["mesh_shape"] == {"data": 4, "model": 2}
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (8, 64, 32))
+    got = np.asarray(sm.predict(x))
+    want = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # The placed params actually carry the TP layout (not replicated).
+    specs = param_partition_specs(sm._params, "model")
+    smesh = sm._mesh()
+    sharded = jax.tree.leaves(jax.tree.map(
+        lambda p, s: p.sharding == NamedSharding(smesh, s),
+        sm._params, specs))
+    assert all(sharded)
+
+    # Padded request through the TP graph (3 -> 4).
+    got = np.asarray(sm.predict(x[:3]))
+    np.testing.assert_allclose(got, want[:3], rtol=1e-5, atol=1e-5)
+
+
 def test_http_server_roundtrip(tiny_model):
     import json
     import threading
