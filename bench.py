@@ -2,15 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). The
-comparison point is an estimate of the reference PyTorch implementation's
-A100 eval throughput for AuM-Base on 10s clips: ~94.5 GFLOP/clip forward at
-fp16 through the reference's many-kernel eval path gives roughly 500-800
-clips/s in the optimistic case; we use 650 clips/s as the denominator. Note
-the model is selective-scan dominated, which is elementwise (CUDA-core /
-VPU) bound on both architectures — see docs/DESIGN.md §6 for the
-speed-of-light analysis and the measurement-methodology caveats of this
-environment.
+Baseline: the reference publishes no throughput numbers. The denominator is
+an estimated 650 clips/s for the reference PyTorch eval path on one A100
+(plausible range 500-850) — full FLOPs/bytes/dispatch derivation in
+BASELINE.md "The A100 eval-throughput denominator" (VERDICT r2 #8), so
+`vs_baseline` carries documented ±25% error bars. See docs/DESIGN.md §6 for
+the TPU-side speed-of-light analysis and the measurement-methodology caveats
+of this environment.
 """
 
 import json
