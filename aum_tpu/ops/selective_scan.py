@@ -1595,6 +1595,7 @@ def _fwd_kernel_dual(
     *rest,
     l_chunk: int, save_states: bool, seq_len: int, fuse_y: bool = False,
     inline_decay: bool = False, fuse_dt: bool = False,
+    bf16_stage: bool = False,
 ):
     if fuse_dt:
         # Four extra *input* refs (pallas passes inputs before outputs):
@@ -1629,8 +1630,22 @@ def _fwd_kernel_dual(
     # y/out rows are discarded), so they stay unmasked in both branches.
     # Each skipped mask was a full-chunk lax.select pass per grid step.
     mr = _pos_mask(n_l - 1 - l, l_chunk, seq_len, ur_ref.shape)
-    uf = uf_ref[...].astype(jnp.float32)              # (b_t,L_c,d_b)
-    ur = _mask0(mr, ur_ref[...].astype(jnp.float32))
+    if bf16_stage:
+        # VERDICT r2 #4 experiment (AUM_SCAN_BF16_STAGE=1): stage the chunk
+        # operands in the stream dtype (bf16) instead of fp32 — halves the
+        # load/store/ALU vector-op count of every prologue staging pass
+        # (dt·log2e, dt·u, B, C) at the cost of one bf16 rounding on the
+        # dt·log2e and dt·u products plus per-step upcasts inside the loop
+        # (small (b_t, d_b)/(b_t, N) slices, off the carry path). The FMA
+        # chain itself stays fp32. Requires bf16 streams + the production
+        # fuse_y/inline_decay configuration (enforced in _fwd_pallas_dual).
+        uf = uf_ref[...]                              # (b_t,L_c,d_b) bf16
+        ur = _mask0(mr, ur_ref[...])
+        dtf = df_ref[...]
+        dtr = _mask0(mr, dr_ref[...])
+    else:
+        uf = uf_ref[...].astype(jnp.float32)          # (b_t,L_c,d_b)
+        ur = _mask0(mr, ur_ref[...].astype(jnp.float32))
     if fuse_dt:
         # In-kernel dt_proj (VERDICT r2 #2 — MXU work folded into the VPU
         # kernel): df/dr stream the (b_t, L_c, R_pad) x_dbl dt-rank slice
@@ -1658,7 +1673,7 @@ def _fwd_kernel_dual(
             jax.lax.dot(rr.reshape(bt_ * lc_, rp_), wr,
                         preferred_element_type=jnp.float32)
             .reshape(bt_, lc_, db_) + badr[None]))
-    else:
+    elif not bf16_stage:
         # dt arrives pre-activated (softplus(delta+bias) fused into the
         # dt_proj matmul epilogue by XLA — see _prep); only the reverse
         # branch masks it.
@@ -1676,8 +1691,9 @@ def _fwd_kernel_dual(
         # This removes the two (L_c, N, d_b) decay buffers — the largest
         # scratch by 16x — freeing VMEM for bigger batch tiles (fewer grid
         # steps). af_scr/ar_scr here are (b_t, L_c, d_b) dt·log2(e) factors.
-        af_scr[...] = dtf * _LOG2E
-        ar_scr[...] = dtr * _LOG2E
+        # (.astype = no-op unless bf16_stage meets a mixed-dtype call.)
+        af_scr[...] = (dtf * _LOG2E).astype(af_scr.dtype)
+        ar_scr[...] = (dtr * _LOG2E).astype(ar_scr.dtype)
         atf = atf_ref[...].astype(jnp.float32)  # (N, d_b)
         atr = atr_ref[...].astype(jnp.float32)
     else:
@@ -1692,10 +1708,10 @@ def _fwd_kernel_dual(
     # materializing a (L_c, N, d_b) chunk tensor: saves a full chunk-width
     # VMEM write+read per direction. The factors go through scratch refs —
     # Mosaic supports dynamic indexing on refs, not on values.
-    dtuf_scr[...] = dtf * uf
-    dtur_scr[...] = dtr * ur
-    bfm_scr[...] = bf_ref[...].astype(jnp.float32)
-    brm_scr[...] = _mask0(mr, br_ref[...].astype(jnp.float32))
+    dtuf_scr[...] = (dtf * uf).astype(dtuf_scr.dtype)
+    dtur_scr[...] = (dtr * ur).astype(dtur_scr.dtype)
+    bfm_scr[...] = bf_ref[...].astype(bfm_scr.dtype)
+    brm_scr[...] = _mask0(mr, br_ref[...].astype(brm_scr.dtype))
 
     if fuse_y:
         # Fused y-readout: the C-contraction happens per step in the loop
@@ -1704,24 +1720,34 @@ def _fwd_kernel_dual(
         # the masked C chunks). The reduction is off the carry path, so the
         # unrolled chains still overlap.
         cfm_scr, crm_scr = extra_scr
-        cfm_scr[...] = cf_ref[...].astype(jnp.float32)
-        crm_scr[...] = cr_ref[...].astype(jnp.float32)
+        cfm_scr[...] = cf_ref[...].astype(cfm_scr.dtype)
+        crm_scr[...] = cr_ref[...].astype(crm_scr.dtype)
 
         def body(i, carry):
             xf, xr = carry
             tr = l_chunk - 1 - i
+            # Per-step slices upcast BEFORE any broadcast: keeps the math
+            # fp32 when the chunk is staged bf16 (no-op casts on the fp32
+            # path), and Mosaic only supports minor-dim insertion
+            # ([:, :, None]) on 32-bit vectors.
             if inline_decay:
-                daf = jnp.exp2(af_scr[:, i][:, None, :] * atf[None])
-                dar = jnp.exp2(ar_scr[:, tr][:, None, :] * atr[None])
+                daf = jnp.exp2(
+                    af_scr[:, i].astype(jnp.float32)[:, None, :] * atf[None])
+                dar = jnp.exp2(
+                    ar_scr[:, tr].astype(jnp.float32)[:, None, :] * atr[None])
             else:
                 daf = af_scr[:, i]
                 dar = ar_scr[:, tr]
             xf = (daf * xf
-                  + dtuf_scr[:, i][:, None, :] * bfm_scr[:, i][:, :, None])
+                  + dtuf_scr[:, i].astype(jnp.float32)[:, None, :]
+                  * bfm_scr[:, i].astype(jnp.float32)[:, :, None])
             xr = (dar * xr
-                  + dtur_scr[:, tr][:, None, :] * brm_scr[:, tr][:, :, None])
-            xf_scr[:, i] = jnp.sum(xf * cfm_scr[:, i][:, :, None], axis=1)
-            xr_scr[:, tr] = jnp.sum(xr * crm_scr[:, tr][:, :, None], axis=1)
+                  + dtur_scr[:, tr].astype(jnp.float32)[:, None, :]
+                  * brm_scr[:, tr].astype(jnp.float32)[:, :, None])
+            xf_scr[:, i] = jnp.sum(
+                xf * cfm_scr[:, i].astype(jnp.float32)[:, :, None], axis=1)
+            xr_scr[:, tr] = jnp.sum(
+                xr * crm_scr[:, tr].astype(jnp.float32)[:, :, None], axis=1)
             return (xf, xr)
 
         statef, stater = jax.lax.fori_loop(
@@ -1875,6 +1901,13 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
     configuration)."""
     fuse_dt = dt_fold is not None
     u = args_f[0]
+    # AUM_SCAN_BF16_STAGE=1: stage chunk operands in bf16 scratch (VERDICT
+    # r2 #4 prologue experiment, see _fwd_kernel_dual). Only meaningful for
+    # bf16 streams on the production fuse_y+inline_decay kernel.
+    bf16_stage = (_env_int("AUM_SCAN_BF16_STAGE", 0) != 0
+                  and fuse_y and inline_decay and not direct and not fuse_dt
+                  and u.dtype == jnp.bfloat16)
+    stage_dtype = jnp.bfloat16 if bf16_stage else jnp.float32
     bsz, seq_len, d = u.shape
     n_pad = args_f[2].shape[0]
     r_pad = args_f[1].shape[-1] if fuse_dt else None
@@ -1975,7 +2008,7 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
         kernel = functools.partial(_fwd_kernel_dual, l_chunk=l_chunk,
                                    save_states=save_states, seq_len=seq_len,
                                    fuse_y=fuse_y, inline_decay=inline_decay,
-                                   fuse_dt=fuse_dt)
+                                   fuse_dt=fuse_dt, bf16_stage=bf16_stage)
     cost = pl.CostEstimate(
         flops=20 * bsz * seq_len * d * n_pad,
         bytes_accessed=8 * bsz * seq_len * d * 4,
@@ -1990,14 +2023,14 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
             x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, d_block),
                                      jnp.float32)] * 2
             extra_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad),
-                                    jnp.float32)] * 2
+                                    stage_dtype)] * 2
         else:
             x_or_y_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
                                      jnp.float32)] * 2
             extra_scr = []
         if inline_decay:
             # af/ar hold the (L_c, d_b) dt·log2(e) factors, not the decay.
-            a_scr = [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
+            a_scr = [pltpu.VMEM((b_tile, l_chunk, d_block), stage_dtype)] * 2
         else:
             a_scr = [pltpu.VMEM((b_tile, l_chunk, n_pad, d_block),
                                 jnp.float32)] * 2
@@ -2005,8 +2038,8 @@ def _fwd_pallas_dual(args_f, args_r, *, save_states, d_block, l_chunk,
             [pltpu.VMEM((b_tile, n_pad, d_block), jnp.float32)] * 2
             + a_scr
             + x_or_y_scr
-            + [pltpu.VMEM((b_tile, l_chunk, d_block), jnp.float32)] * 2
-            + [pltpu.VMEM((b_tile, l_chunk, n_pad), jnp.float32)] * 2
+            + [pltpu.VMEM((b_tile, l_chunk, d_block), stage_dtype)] * 2
+            + [pltpu.VMEM((b_tile, l_chunk, n_pad), stage_dtype)] * 2
             + extra_scr
         )
     kw = _scoped_vmem_kw(interpret)

@@ -392,3 +392,67 @@ def test_dual_scan_dt_fold_jnp_fallback():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(yr0), np.asarray(yr1),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_dual_scan_bf16_stage_matches_oracle(shared, monkeypatch):
+    """bf16 scratch staging (AUM_SCAN_BF16_STAGE=1, VERDICT r2 #4): the
+    dual kernel staging its chunk operands (dt·log2e, dt·u, B, C) in bf16
+    scratch must track the fp32-staged kernel within bf16 rounding (the
+    output dtype is bf16 anyway, so ~1e-2 is the noise floor — interpret
+    mode measured 6.7e-3 at these shapes) and leave fp32 runs untouched."""
+    from aum_tpu.ops.selective_scan import selective_scan_dual
+
+    args_f = _make_inputs(jax.random.PRNGKey(21), bsz=2, l=37, d=24, n=8,
+                          dtype=jnp.bfloat16)
+    args_r = args_f if shared else _make_inputs(
+        jax.random.PRNGKey(22), bsz=2, l=37, d=24, n=8, dtype=jnp.bfloat16)
+    monkeypatch.setenv("AUM_SCAN_BF16_STAGE", "0")
+    yf0, yr0 = selective_scan_dual(args_f, args_r, d_block=8, l_chunk=16)
+    monkeypatch.setenv("AUM_SCAN_BF16_STAGE", "1")
+    yf1, yr1 = selective_scan_dual(args_f, args_r, d_block=8, l_chunk=16)
+    assert yf1.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(yf1, np.float32),
+                               np.asarray(yf0, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(yr1, np.float32),
+                               np.asarray(yr0, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # Differentiable with the knob on: the custom_vjp backward reads the
+    # fp32-prepped residuals, so grads stay at the unstaged path's accuracy.
+    # Linear loss => the incoming cotangent is exactly 1 on both paths (a
+    # quadratic would feed each path ITS OWN bf16-rounded y as cotangent,
+    # amplifying the forward's rounding into the comparison); what remains
+    # differing is only the staged forward's saved boundary states.
+    def loss(uf, ur):
+        a_f = (uf,) + args_f[1:]
+        a_r = (ur,) + args_r[1:]
+        yf, yr = selective_scan_dual(a_f, a_r, d_block=8, l_chunk=16)
+        return jnp.sum((yf + yr).astype(jnp.float32))
+
+    g1 = jax.grad(loss, argnums=(0, 1))(args_f[0], args_r[0])
+    monkeypatch.setenv("AUM_SCAN_BF16_STAGE", "0")
+    g0 = jax.grad(loss, argnums=(0, 1))(args_f[0], args_r[0])
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_dual_scan_bf16_stage_noop_on_fp32():
+    """The knob must not change fp32 runs (staging degenerates to fp32)."""
+    import os
+
+    from aum_tpu.ops.selective_scan import selective_scan_dual
+
+    args = _make_inputs(jax.random.PRNGKey(23), bsz=2, l=37, d=24, n=8)
+    os.environ["AUM_SCAN_BF16_STAGE"] = "1"
+    try:
+        y1 = selective_scan_dual(args, args, d_block=8, l_chunk=16)
+    finally:
+        os.environ.pop("AUM_SCAN_BF16_STAGE", None)
+    y0 = selective_scan_dual(args, args, d_block=8, l_chunk=16)
+    np.testing.assert_allclose(np.asarray(y1[0]), np.asarray(y0[0]),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(y1[1]), np.asarray(y0[1]),
+                               rtol=0, atol=0)
