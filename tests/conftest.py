@@ -31,3 +31,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the reference-code parity tests LAST.
+
+    test_ref_parity builds and runs the actual upstream torch model (depth-24
+    AudioMamba forwards under torch autograd). Full-suite runs that placed it
+    before test_runner segfaulted inside XLA's native CPU compile
+    (backend_compile_and_load) on the first big pjit AFTER it — three times,
+    at the same spot, while test_runner alone and the pre-ref_parity prefix
+    both pass (logs: pytest_full_r3b/c, pytest_r3_clean). Heavy torch use
+    appears to poison subsequent LLVM JIT compilation in the same process
+    (torch's OpenMP/LLVM symbols); ordering the torch-heavy module last means
+    no XLA compilation follows it.
+    """
+    items.sort(key=lambda it: it.fspath.basename == "test_ref_parity.py")

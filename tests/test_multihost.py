@@ -79,6 +79,11 @@ def test_to_host_global_single_process_identity():
 
 
 def test_maybe_initialize_distributed_no_op_paths(monkeypatch):
+    import aum_tpu.parallel.multihost as mh
+
+    # Registered with monkeypatch so the test's _INITIALIZED = True side
+    # effect is rolled back at teardown (no leak into later tests).
+    monkeypatch.setattr(mh, "_INITIALIZED", False)
     for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
                 "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
         monkeypatch.delenv(var, raising=False)

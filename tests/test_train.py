@@ -300,8 +300,10 @@ def test_epoch_train_loss_is_exact_mean_of_step_losses(tmp_path):
     np.testing.assert_allclose(history[0]["train_loss"],
                                np.mean(per_step), rtol=1e-6)
 
-    # A poisoned step is excluded from the mean and counted.
-    st = reset_loss_accum(state)
+    # A poisoned step is excluded from the mean and counted. (state2, not
+    # state: train_loop's jitted step donates its state argument, so the
+    # original `state` buffers are deleted by now.)
+    st = reset_loss_accum(state2)
     st, _ = step(st, {"x": jnp.asarray(xs[:2]), "y": jnp.asarray(ys[:2])},
                  jax.random.PRNGKey(2))
     good = float(st.loss_sum)
