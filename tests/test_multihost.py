@@ -125,3 +125,22 @@ def test_evaluate_accepts_globalized_batches():
                          loss_type="CE", main_metric="acc")
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
     assert m1["acc"] == m2["acc"]
+
+
+def test_two_process_multicontroller_smoke():
+    """The REAL multi-process path: two OS processes, jax.distributed
+    against a local coordinator, 4 CPU devices each (8 global), the jitted
+    DP train step on a batch assembled from per-process shards, and the
+    eval gather — scripts/smoke_multiprocess.py, exits 0 only when both
+    controllers print the same finite loss."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                          "smoke_multiprocess.py")
+    proc = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True,
+        timeout=1500)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multi-controller smoke OK" in proc.stdout
