@@ -144,3 +144,44 @@ def test_two_process_multicontroller_smoke():
         timeout=1500)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "multi-controller smoke OK" in proc.stdout
+
+
+def test_ici_major_device_order_multi_slice():
+    """DCN-aware mesh layout: 'model' groups must sit inside one slice so
+    the mixers' per-token psums ride ICI; 'data' spans slices (DCN). The
+    ordering function is tested with fake devices (real multi-slice
+    hardware is not available here); single-slice devices degenerate to
+    id order, leaving existing meshes unchanged."""
+    import pytest
+
+    from aum_tpu.parallel.mesh import _ici_major_order
+
+    class Dev:
+        def __init__(self, id, process_index, slice_index):
+            self.id = id
+            self.process_index = process_index
+            self.slice_index = slice_index
+
+        def __repr__(self):
+            return f"d{self.id}"
+
+    # Two slices x 4 devices, presented interleaved (worst case).
+    devs = [Dev(i, process_index=i % 2, slice_index=i % 2) for i in range(8)]
+    ordered = _ici_major_order(devs, n_model=2)
+    # All of slice 0 first, then slice 1 — every consecutive pair (a
+    # 'model' row after reshape) is same-slice.
+    slices = [d.slice_index for d in ordered]
+    assert slices == [0, 0, 0, 0, 1, 1, 1, 1]
+    rows = np.asarray(ordered).reshape(4, 2)
+    assert all(r[0].slice_index == r[1].slice_index for r in rows)
+
+    # n_model that cannot fit inside a slice is rejected, not silently
+    # spread over DCN.
+    devs9 = [Dev(i, 0, 0) for i in range(3)] + [Dev(3 + i, 1, 1)
+                                                for i in range(3)]
+    with pytest.raises(ValueError, match="span DCN"):
+        _ici_major_order(devs9, n_model=2)
+
+    # Single-slice (slice_index None, e.g. CPU/1-slice TPU): id order.
+    devs1 = [Dev(i, 0, None) for i in (3, 1, 2, 0)]
+    assert [d.id for d in _ici_major_order(devs1, 1)] == [0, 1, 2, 3]
