@@ -50,6 +50,9 @@ def main():
     p.add_argument("--n-model", type=int, default=1,
                    help="tensor-parallel export: model-axis size (params "
                         "sharded d_inner over 'model'; see serving.py)")
+    p.add_argument("--weight-quant", default=None, choices=["int8"],
+                   help="weight-only quantization of the matmul weights "
+                        "(dequantized in-graph; ~4x smaller params)")
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args()
 
@@ -109,6 +112,7 @@ def main():
         wav_samples=(int(args.clip_secs * args.sample_rate)
                      if args.include_frontend else None),
         mesh=mesh, model_axis="model" if args.n_model > 1 else None,
+        weight_quant=args.weight_quant,
         extra_meta={"recipe": args.recipe, "variant": cfg.model_type,
                     "aum_type": cfg.aum_type})
     sz = os.path.getsize(args.out)
