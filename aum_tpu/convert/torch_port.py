@@ -291,6 +291,96 @@ def _port_without_grid_inference(sd, cfg) -> Dict:
     return {"params": params}
 
 
+def _mixer_to_torch(m: Dict, j: int, bt: str) -> Dict:
+    """Inverse of _mixer_params for layer j of a stacked mixer dict."""
+    g = lambda k: np.asarray(m[k][j], np.float32)
+    out = {
+        "in_proj.weight": np.concatenate(
+            [g("in_proj_x_weight").T, g("in_proj_z_weight").T], axis=0),
+        "conv1d.weight": g("conv1d_weight")[:, None, :],
+        "conv1d.bias": g("conv1d_bias"),
+        "x_proj.weight": g("x_proj_weight").T,
+        "dt_proj.weight": g("dt_proj_weight").T,
+        "dt_proj.bias": g("dt_proj_bias"),
+        "A_log": g("A_log"),
+        "D": g("D"),
+        "out_proj.weight": g("out_proj_weight").T,
+    }
+    if bt in ("v1", "v2"):
+        out["A_b_log"] = g("A_b_log")
+    if bt == "v2":
+        out.update({
+            "conv1d_b.weight": g("conv1d_b_weight")[:, None, :],
+            "conv1d_b.bias": g("conv1d_b_bias"),
+            "x_proj_b.weight": g("x_proj_b_weight").T,
+            "dt_proj_b.weight": g("dt_proj_b_weight").T,
+            "dt_proj_b.bias": g("dt_proj_b_bias"),
+            "D_b": g("D_b"),
+        })
+    return out
+
+
+def _unstack_block(block: Dict, layer_ids, bt: str, out: Dict) -> None:
+    for j, i in enumerate(layer_ids):
+        out[f"layers.{i}.norm.weight"] = np.asarray(
+            block["norm_weight"][j], np.float32)
+        for k, v in _mixer_to_torch(block["mixer"], j, bt).items():
+            out[f"layers.{i}.mixer.{k}"] = v
+
+
+def export_aum_state_dict(params: Dict, cfg: AudioMambaConfig) -> Dict:
+    """Inverse porter: flax params -> a reference-format torch state dict.
+
+    Produces exactly the key set the reference `AudioMamba.state_dict()`
+    emits (mamba_models.py:193-339 module tree), so the result strict-loads
+    into a reference model built with the matching constructor args — the
+    interop path for users moving trained aum_tpu weights back to the
+    upstream codebase (or to any mamba_ssm-based torch stack). Exact inverse
+    of the layout translation in `port_aum_state_dict`; round-trip and
+    reference-code strict-load + logit-parity tests live in
+    tests/test_torch_port.py and tests/test_ref_parity.py.
+    """
+    p = params.get("params", params)
+    sd: Dict = {
+        "patch_embed.proj.weight": np.transpose(
+            np.asarray(p["patch_embed"]["proj_weight"], np.float32),
+            (3, 2, 0, 1)),
+        "patch_embed.proj.bias": np.asarray(
+            p["patch_embed"]["proj_bias"], np.float32),
+        "pos_embed.pos_embed": np.asarray(
+            p["pos_embed"]["pos_embed"], np.float32),
+        "norm_f.weight": np.asarray(p["norm_f_weight"], np.float32),
+    }
+    if cfg.if_cls_token:
+        if cfg.use_double_cls_token:
+            sd["cls_token_head"] = np.asarray(p["cls_token_head"], np.float32)
+            sd["cls_token_tail"] = np.asarray(p["cls_token_tail"], np.float32)
+        else:
+            sd["cls_token"] = np.asarray(p["cls_token"], np.float32)
+    if "head_weight" in p:
+        sd["head.weight"] = np.asarray(p["head_weight"], np.float32).T
+        sd["head.bias"] = np.asarray(p["head_bias"], np.float32)
+    bt = cfg.bimamba_type
+    if cfg.if_bidirectional:
+        _unstack_block(p["layers"]["fwd"], range(0, cfg.depth, 2), bt, sd)
+        _unstack_block(p["layers"]["bwd"], range(1, cfg.depth, 2), bt, sd)
+    else:
+        _unstack_block(p["layers"]["block"], range(cfg.depth), bt, sd)
+    return sd
+
+
+def save_reference_checkpoint(params: Dict, cfg: AudioMambaConfig,
+                              path: str) -> None:
+    """torch.save an exported state dict in the reference's .pth layout
+    (loadable by run.py's aum_pretrain path, mamba_models.py:397-451)."""
+    import torch
+
+    # np.array(copy=True): jax-backed buffers are read-only and
+    # torch.from_numpy warns on non-writable arrays.
+    torch.save({k: torch.from_numpy(np.array(v, dtype=np.float32))
+                for k, v in export_aum_state_dict(params, cfg).items()}, path)
+
+
 def merge_with_init(ported: Dict, init_params: Dict) -> Dict:
     """Fill leaves missing from the ported tree (e.g. a fresh head) from an
     init tree — the reference's load_state_dict(strict=False) semantics."""

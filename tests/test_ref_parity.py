@@ -246,3 +246,43 @@ def test_if_bidirectional_paired_layers_parity(ref_mm):
         bimamba_type="none", if_bidirectional=True)
     got = _flax_logits(reference_state_dict_numpy(ref), cfg, x.numpy())
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_export_to_reference_strict_load_and_logit_parity(ref_mm, tmp_path):
+    """Reverse interop: a flax-trained model exported with
+    export_aum_state_dict strict-loads into the reference AudioMamba and
+    produces the same logits; the saved .pth is also consumed by the
+    reference constructor's own aum_pretrain path (mamba_models.py:397-451)
+    unchanged."""
+    from aum_tpu.convert import export_aum_state_dict
+    from aum_tpu.convert.torch_port import save_reference_checkpoint
+
+    cfg = AudioMambaConfig(
+        spectrogram_size=(128, 256), depth=2, embed_dim=64, num_classes=7,
+        bimamba_type="v1")
+    model = AudioMamba(cfg, use_kernel=False)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 256, 128)))
+    x = torch.randn(2, 256, 128) * 0.5
+    want = np.asarray(model.apply(params, jnp.asarray(x.numpy())))
+
+    # 1) strict load: the exported key set IS the reference state_dict set.
+    torch.manual_seed(11)
+    ref = ref_mm.AudioMamba(
+        spectrogram_size=(128, 256), depth=2, embed_dim=64, num_classes=7,
+        bimamba_type="v1")
+    sd = export_aum_state_dict(params, cfg)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=True)
+    np.testing.assert_allclose(_ref_logits(ref, x), want, rtol=2e-3,
+                               atol=2e-3)
+
+    # 2) the reference's own checkpoint-load path consumes the saved .pth.
+    pth = str(tmp_path / "export.pth")
+    save_reference_checkpoint(params, cfg, pth)
+    torch.manual_seed(12)
+    ref2 = ref_mm.AudioMamba(
+        spectrogram_size=(128, 256), depth=2, embed_dim=64, num_classes=7,
+        bimamba_type="v1", aum_pretrain=True, aum_pretrain_path=pth)
+    np.testing.assert_allclose(_ref_logits(ref2, x), want, rtol=2e-3,
+                               atol=2e-3)

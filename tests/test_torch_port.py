@@ -459,3 +459,65 @@ def test_verify_ckpt_script_record_then_verify(tmp_path):
             "--fbank-npz", npz]
     assert verify_main(args + ["--record-to", golden]) == 0
     assert verify_main(args + ["--golden", golden]) == 0
+
+
+@pytest.mark.parametrize("bimamba_type,if_bidirectional,double_cls", [
+    ("none", False, False),
+    ("v1", False, False),
+    ("v2", False, False),
+    ("none", True, False),
+    ("v2", False, True),
+])
+def test_export_port_roundtrip_identity(bimamba_type, if_bidirectional,
+                                        double_cls):
+    """export_aum_state_dict is the exact inverse of port_aum_state_dict:
+    flax init -> torch-layout export -> re-port reproduces every leaf."""
+    from aum_tpu.convert import export_aum_state_dict
+
+    cfg = AudioMambaConfig(
+        spectrogram_size=SPEC, depth=DEPTH, embed_dim=D_MODEL,
+        num_classes=N_CLASS, bimamba_type=bimamba_type,
+        if_bidirectional=if_bidirectional,
+        use_double_cls_token=double_cls,
+        use_middle_cls_token=not double_cls)
+    model = AudioMamba(cfg, use_kernel=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, SPEC[1], SPEC[0])))
+    back = port_aum_state_dict(export_aum_state_dict(params, cfg), cfg)
+    flat_a = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back["params"])[0]
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=0, err_msg=str(path))
+
+
+def test_export_torch_ckpt_script(tmp_path):
+    """scripts/export_torch_ckpt.py: orbax dir -> reference-format .pth whose
+    re-port reproduces the trained params exactly."""
+    import orbax.checkpoint as ocp
+
+    from aum_tpu.convert import load_torch_checkpoint
+    from scripts.export_torch_ckpt import main as export_main
+
+    cfg = AudioMambaConfig.from_variant(
+        "tiny", "Fo-Bi", num_classes=35, spectrogram_size=(128, 128))
+    model = AudioMamba(cfg, use_kernel=False)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 128)))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(tmp_path / "models" / "best"),
+               {"step": 0, "params": params}, force=True)
+    ckptr.wait_until_finished()
+
+    pth = str(tmp_path / "export.pth")
+    assert export_main([
+        "--orbax", str(tmp_path / "models"), "--name", "best",
+        "--model-type", "tiny", "--aum-type", "Fo-Bi", "--n-class", "35",
+        "--audio-length", "128", "--melbins", "128", "--out", pth]) == 0
+
+    back = port_aum_state_dict(load_torch_checkpoint(pth), cfg)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params["params"])[0],
+            jax.tree_util.tree_flatten_with_path(back["params"])[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
