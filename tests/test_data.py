@@ -256,3 +256,15 @@ def test_prefetcher_yields_all_and_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+def test_bench_pipeline_script(capsys):
+    """scripts/bench_pipeline.py smoke: tiny shapes, one epoch, prints a
+    JSON line with positive rates and the native-decode flag."""
+    from scripts.bench_pipeline import main as bench_main
+
+    assert bench_main(["--n-files", "6", "--secs", "0.5", "--batch", "3",
+                       "--epochs", "1", "--target-length", "64"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["host_assembly_clips_per_sec"] > 0
+    assert out["assembly_plus_cpu_featurize_clips_per_sec"] > 0
