@@ -218,3 +218,27 @@ def test_run_eval_from_torch_pth_and_vim_pretrain(spc_like_data, tmp_path):
         "--set", f"imagenet_pretrain_path={vim_pth}",
     ])
     assert 0.0 <= m2["acc"] <= 1.0
+
+
+def test_inference_notebook_executes(tmp_path):
+    """examples/inference.ipynb (the reference notebook's equivalent) runs
+    end-to-end at tiny scale: model build, single-clip top-k, batch eval."""
+    nbformat = pytest.importorskip("nbformat")
+    nbclient = pytest.importorskip("nbclient")
+
+    nb_path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                           "inference.ipynb")
+    samples = "/root/reference/examples/inference/data"
+    if not os.path.isdir(samples):
+        pytest.skip("bundled sample clips not present")
+    os.environ["AUM_NB_MODEL"] = "tiny"
+    os.environ["AUM_NB_LEN"] = "128"
+    try:
+        nb = nbformat.read(nb_path, as_version=4)
+        nbclient.NotebookClient(nb, timeout=560).execute()
+    finally:
+        os.environ.pop("AUM_NB_MODEL", None)
+        os.environ.pop("AUM_NB_LEN", None)
+    text = "".join(o.get("text", "") for c in nb.cells
+                   for o in c.get("outputs", []))
+    assert "Fo-Bi" in text and "mAP" in text
