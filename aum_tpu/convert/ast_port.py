@@ -89,6 +89,53 @@ def port_deit_state_dict(sd: Dict, cfg: ASTConfig) -> Dict:
     return {"params": params}
 
 
+def export_ast_state_dict(params: Dict, cfg: ASTConfig) -> Dict:
+    """Inverse porter: flax ASTModel params -> the reference AST *audio*
+    checkpoint layout (nested timm model under `v.`, LN+Linear head under
+    `mlp_head.`, ast_models.py:68,114-181), so aum_tpu-trained AST weights
+    feed `port_ast_pretrain_state_dict` (exact round-trip, tested) and the
+    reference's audioset_pretrain load path."""
+    p = params.get("params", params)
+    d, h = cfg.embed_dim, cfg.num_heads
+    f32 = lambda a: np.asarray(a, np.float32)
+    sd: Dict = {
+        "v.patch_embed.proj.weight": np.transpose(
+            f32(p["patch_proj_weight"]), (3, 2, 0, 1)),
+        "v.patch_embed.proj.bias": f32(p["patch_proj_bias"]),
+        "v.cls_token": f32(p["cls_token"]),
+        "v.pos_embed": f32(p["pos_embed"]),
+        "v.norm.weight": f32(p["norm"]["scale"]),
+        "v.norm.bias": f32(p["norm"]["bias"]),
+    }
+    if "dist_token" in p:
+        sd["v.dist_token"] = f32(p["dist_token"])
+    for i in range(cfg.depth):
+        b = p[f"block_{i}"]
+        v = f"v.blocks.{i}."
+        # flax MHA (D, H, Dh) kernels -> torch rows; qkv re-fused.
+        qkv_w = [f32(b["attn"][k]["kernel"]).reshape(d, d).T
+                 for k in ("query", "key", "value")]
+        qkv_b = [f32(b["attn"][k]["bias"]).reshape(d)
+                 for k in ("query", "key", "value")]
+        sd[v + "attn.qkv.weight"] = np.concatenate(qkv_w, axis=0)
+        sd[v + "attn.qkv.bias"] = np.concatenate(qkv_b, axis=0)
+        sd[v + "attn.proj.weight"] = f32(
+            b["attn"]["out"]["kernel"]).reshape(d, d).T
+        sd[v + "attn.proj.bias"] = f32(b["attn"]["out"]["bias"])
+        for nm in ("norm1", "norm2"):
+            sd[v + nm + ".weight"] = f32(b[nm]["scale"])
+            sd[v + nm + ".bias"] = f32(b[nm]["bias"])
+        for nm in ("fc1", "fc2"):
+            sd[v + "mlp." + nm + ".weight"] = f32(b[nm]["kernel"]).T
+            sd[v + "mlp." + nm + ".bias"] = f32(b[nm]["bias"])
+    if "head" in p:
+        sd["mlp_head.0.weight"] = f32(p["head_norm"]["scale"])
+        sd["mlp_head.0.bias"] = f32(p["head_norm"]["bias"])
+        sd["mlp_head.1.weight"] = f32(p["head"]["kernel"]).T
+        sd["mlp_head.1.bias"] = f32(p["head"]["bias"])
+    return sd
+
+
 def port_ast_pretrain_state_dict(
     sd: Dict,
     cfg: ASTConfig,

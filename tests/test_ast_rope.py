@@ -239,3 +239,27 @@ def test_ast_pretrain_port_unwraps_and_retargets():
     params = merge_with_init(ported, model.init(jax.random.PRNGKey(0), x))
     out = model.apply(params, x)
     assert out.shape == (1, 7)
+
+
+def test_ast_export_port_roundtrip_identity():
+    """export_ast_state_dict is the exact inverse of
+    port_ast_pretrain_state_dict: flax init -> nested AST checkpoint layout
+    (v. + mlp_head.) -> re-port reproduces every leaf incl. the head."""
+    from aum_tpu.convert.ast_port import (export_ast_state_dict,
+                                          port_ast_pretrain_state_dict)
+
+    cfg = ASTConfig(label_dim=7, input_fdim=128, input_tdim=128,
+                    fstride=16, tstride=16, depth=2, embed_dim=192,
+                    num_heads=3)
+    model = ASTModel(cfg)
+    params = model.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 128, 128)))
+    sd = export_ast_state_dict(params, cfg)
+    assert all(k.startswith(("v.", "mlp_head.")) for k in sd)
+    back = port_ast_pretrain_state_dict(sd, cfg)
+    flat_a = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back["params"])[0]
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
