@@ -45,5 +45,15 @@ def pytest_collection_modifyitems(config, items):
     appears to poison subsequent LLVM JIT compilation in the same process
     (torch's OpenMP/LLVM symbols); ordering the torch-heavy module last means
     no XLA compilation follows it.
+
+    2026-08-20 addendum (fresh host): even torch merely LOADED at collection
+    (test_ref_parity's former module-level importorskip) was enough — two
+    full-suite runs segfaulted in backend_compile_and_load at
+    test_runner::test_run_eval_wa_and_ensemble after ~18 min of LLVM churn,
+    ~100 green tests after collection, while test_runner alone (torch never
+    loaded) passes the same test. test_ref_parity now defers the import to
+    setup_module so the suite process stays torch-free until the
+    last-ordered module runs; the other torch users (test_train/
+    test_torch_port/test_runner) already import inside test functions.
     """
     items.sort(key=lambda it: it.fspath.basename == "test_ref_parity.py")
