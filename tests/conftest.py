@@ -55,5 +55,15 @@ def pytest_collection_modifyitems(config, items):
     setup_module so the suite process stays torch-free until the
     last-ordered module runs; the other torch users (test_train/
     test_torch_port/test_runner) already import inside test functions.
+
+    2026-08-20, later: torch is EXONERATED as the root cause — with the
+    deferred import a full single-process run STILL segfaulted at the very
+    same compile (faulthandler's extension-module list confirmed no torch
+    among 204 loaded modules; 126 GB RAM free). The common factor across
+    all six observed crashes is many XLA-CPU compiles accumulated in one
+    long-lived process. Torch-last ordering is kept (it shrinks the risk
+    surface and keeps LLVM-heavy torch out of the compile-churn window),
+    but the supported way to run everything is process-isolated chunks:
+    `bash scripts/run_suite.sh`. Every chunk passes in a fresh process.
     """
     items.sort(key=lambda it: it.fspath.basename == "test_ref_parity.py")
