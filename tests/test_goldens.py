@@ -30,8 +30,12 @@ from scripts.record_goldens import (
 @pytest.mark.parametrize("name", sorted(GOLDENS))
 def test_golden_logits(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
-    if not os.path.exists(path):
-        pytest.skip(f"{path} not recorded (run scripts/record_goldens.py)")
+    # The goldens are COMMITTED fixtures (recorded from the actual reference
+    # code by scripts/record_goldens.py) — a missing file means lost parity
+    # coverage and must FAIL, not skip (ADVICE r3).
+    assert os.path.exists(path), (
+        f"{path} missing: committed golden fixture lost — restore it or "
+        f"re-record with scripts/record_goldens.py on a torch host")
     data = np.load(path)
     kwargs = json.loads(str(data["config"]))
     # json round-trips tuples as lists; the config and the GOLDENS table

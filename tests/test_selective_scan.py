@@ -456,3 +456,19 @@ def test_dual_scan_bf16_stage_noop_on_fp32():
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(y1[1]), np.asarray(y0[1]),
                                rtol=0, atol=0)
+
+
+def test_ssd_factored_form_matches_oracle():
+    """The chunked-matmul (SSD) feasibility prototype (docs/ROOFLINE.md
+    "The chunked-matmul (SSD) route") is exact vs the oracle at range-safe
+    dt — keeps the memo's correctness claim reproducible."""
+    from aum_tpu.ops.scan_ref import selective_scan_ref
+    from scripts.ssd_probe import make_args, ssd_factored_fwd
+
+    u, delta, A, B, C, D, z, db = make_args(2, 64, 48, 8, dt_scale=0.3)
+    ref = selective_scan_ref(u, delta, A, B, C, D, z, db,
+                             delta_softplus=True)
+    for lc in (16, 64):
+        got = ssd_factored_fwd(u, delta, A, B, C, D, z, db, lc=lc)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err / float(jnp.max(jnp.abs(ref))) < 2e-4, (lc, err)
