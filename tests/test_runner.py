@@ -93,7 +93,7 @@ def test_run_train_and_eval(spc_like_data, tmp_path):
     assert os.path.exists(str(tmp_path / "expeval" / "stats_eval.pickle"))
 
 
-def test_run_eval_wa_and_ensemble(spc_like_data, tmp_path):
+def test_run_eval_wa_and_ensemble(spc_like_data, tmp_path, capsys):
     from aum_tpu.run import main
 
     exp_dir = str(tmp_path / "exp2")
@@ -117,6 +117,16 @@ def test_run_eval_wa_and_ensemble(spc_like_data, tmp_path):
         "--ckpt", ckpt,
     ])
     assert 0.0 <= m["acc"] <= 1.0
+    assert '"n_models": 2' in capsys.readouterr().out
+    # validate_wa's start/end epoch window (traintest.py:342): restricting
+    # to epoch 2 only must average a single checkpoint.
+    m2 = main(common + [
+        "--data-eval", spc_like_data["eval"],
+        "--exp-dir", str(tmp_path / "wa2"), "--run-type", "eval_wa",
+        "--ckpt", ckpt, "--wa-start", "2", "--wa-end", "2",
+    ])
+    assert 0.0 <= m2["acc"] <= 1.0
+    assert '"n_models": 1' in capsys.readouterr().out
     res = main(common + [
         "--data-eval", spc_like_data["eval"],
         "--exp-dir", str(tmp_path / "ens"), "--run-type", "eval_ensemble",

@@ -313,3 +313,28 @@ def test_epoch_train_loss_is_exact_mean_of_step_losses(tmp_path):
     assert not np.isfinite(float(loss))
     assert int(st.nonfinite_count) == 1
     np.testing.assert_allclose(float(st.loss_sum), good, rtol=1e-7)
+
+
+def test_evaluate_nan2num_coerces_eval_outputs():
+    """Reference `if_nan2num` also sanitizes *eval* outputs before the
+    sigmoid (traintest.py:275-276); evaluate(nan2num=True) must reproduce
+    that (VERDICT r3 weak #6b)."""
+    from aum_tpu.train.loop import evaluate
+
+    logits = np.array([[2.0, np.nan], [np.inf, -1.0]], np.float32)
+    batches = [{"x": jnp.zeros((2, 4)), "y": jnp.asarray(
+        np.array([[1, 0], [0, 1]], np.float32))}]
+
+    def eval_step(params, x):
+        return jnp.asarray(logits)
+
+    m_raw, scores_raw, _ = evaluate(eval_step, None, list(batches),
+                                    "BCE", "acc", nan2num=False)
+    assert np.isnan(scores_raw).any()
+    m, scores, _ = evaluate(eval_step, None, list(batches),
+                            "BCE", "acc", nan2num=True)
+    assert np.isfinite(scores).all()
+    assert np.isfinite(m["loss"])
+    # torch.nan_to_num semantics: nan->0 (sigmoid 0.5), inf->finite max.
+    np.testing.assert_allclose(scores[0, 1], 0.5)
+    assert scores[1, 0] == 1.0
