@@ -147,6 +147,10 @@ class AudioMamba(nn.Module):
     use_kernel: Optional[bool] = None
     # Tensor-parallel axis name when running under shard_map (d_inner sharded).
     model_axis: Optional[str] = None
+    # Sequence-parallel axis name: mixers shard token length over this mesh
+    # axis (ops/seq_parallel.py); composes with GSPMD DP/TP. Requires an
+    # ambient mesh (jax.set_mesh) carrying the axis.
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, return_features: bool = False,
@@ -300,6 +304,7 @@ class AudioMamba(nn.Module):
             bimamba_type=cfg.bimamba_type, if_devide_out=cfg.if_devide_out,
             d_state=cfg.d_state, n_layer=cfg.depth, dtype=dtype,
             use_kernel=self.use_kernel, model_axis=self.model_axis,
+            seq_axis=self.seq_axis,
             split_remat=remat_mode == "split")
 
         rope_bufs = None

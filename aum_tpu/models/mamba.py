@@ -107,6 +107,12 @@ class MambaMixer(nn.Module):
     # Tensor-parallel axis name (set when running under shard_map with
     # d_inner sharded; inserts the two psums the TP layout needs).
     model_axis: Optional[str] = None
+    # Sequence-parallel axis name (VERDICT r3 #5): the scans run through
+    # ops/seq_parallel.py::sharded_scan_in_jit — token length sharded over
+    # this mesh axis with a (decay-product, end-state) carry exchange,
+    # composing with GSPMD DP/TP in the same jit. Disables the fused dual
+    # kernel (the two directions run as separate seq-parallel scans).
+    seq_axis: Optional[str] = None
     # Split-remat: jax.checkpoint the pre-scan compute (in/x/dt projections
     # + conv) so its intermediates are recomputed in the backward, while the
     # scan itself stays OUT of any remat region — its custom_vjp residuals
@@ -216,7 +222,9 @@ class MambaMixer(nn.Module):
         elif self.bimamba_type != "none":
             raise ValueError(f"unknown bimamba_type: {self.bimamba_type}")
 
-        use_dual = self.use_kernel is not False  # fused bidirectional kernel
+        # fused bidirectional kernel; under sequence parallelism each
+        # direction runs as its own seq-parallel scan instead.
+        use_dual = self.use_kernel is not False and self.seq_axis is None
         # dt_fold: stream the dt-rank slice and run the dt_proj matmul +
         # softplus inside the dual kernel (MXU work in the VPU kernel; no
         # (B, L, D) dt tensor in HBM on the eval path — VERDICT r2 #2).
@@ -266,6 +274,13 @@ class MambaMixer(nn.Module):
 
         def scan_one(args, reverse):
             u, delta, a, bm, cm, dsk, z, dt_b = args
+            if self.seq_axis is not None:
+                from aum_tpu.ops.seq_parallel import sharded_scan_in_jit
+
+                return sharded_scan_in_jit(
+                    u, delta, a, bm, cm, dsk, z, dt_b,
+                    delta_softplus=True, reverse=reverse,
+                    axis=self.seq_axis, use_kernel=self.use_kernel)
             return selective_scan(
                 u, delta, a, bm, cm, dsk, z=z, delta_bias=dt_b,
                 delta_softplus=True, reverse=reverse,
@@ -319,6 +334,7 @@ class MambaBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Optional[bool] = None
     model_axis: Optional[str] = None
+    seq_axis: Optional[str] = None
     split_remat: bool = False
 
     @nn.compact
@@ -338,5 +354,6 @@ class MambaBlock(nn.Module):
             bimamba_type=self.bimamba_type, if_devide_out=self.if_devide_out,
             n_layer=self.n_layer, dtype=self.dtype,
             use_kernel=self.use_kernel, model_axis=self.model_axis,
+            seq_axis=self.seq_axis,
             split_remat=self.split_remat, name="mixer")(normed)
         return hidden, residual

@@ -65,25 +65,32 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices=None,
+    n_seq: int = 1,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices.
+    """Build a ('data', 'model') — or, with n_seq > 1,
+    ('data', 'seq', 'model') — mesh over the available devices.
 
     Devices are laid out ICI-major (`_ici_major_order`): every size-n_model
-    'model' group lives inside one slice, so the mixers' per-token psums
-    (x_proj / out_proj) ride ICI; only the once-per-step gradient
-    all-reduce over 'data' crosses DCN on a multi-slice deployment. The
-    reference has no analogue (single-node NCCL DP); this is the standard
-    TPU mesh recipe (parallelism axes ordered innermost = fastest
-    interconnect).
+    'model' group (and, around it, each 'seq' group — its per-token carry
+    exchange is latency-sensitive) lives inside one slice, so the mixers'
+    per-token psums (x_proj / out_proj) ride ICI; only the once-per-step
+    gradient all-reduce over 'data' crosses DCN on a multi-slice
+    deployment. The reference has no analogue (single-node NCCL DP); this
+    is the standard TPU mesh recipe (parallelism axes ordered innermost =
+    fastest interconnect).
     """
     if devices is None:
         devices = jax.devices()
     n_total = len(devices)
     if n_data is None:
-        n_data = n_total // n_model
-    assert n_data * n_model == n_total, (n_data, n_model, n_total)
-    arr = _ici_major_order(devices, n_model).reshape(n_data, n_model)
-    return Mesh(arr, ("data", "model"))
+        n_data = n_total // (n_model * n_seq)
+    assert n_data * n_model * n_seq == n_total, (
+        n_data, n_seq, n_model, n_total)
+    arr = _ici_major_order(devices, n_model * n_seq)
+    if n_seq > 1:
+        return Mesh(arr.reshape(n_data, n_seq, n_model),
+                    ("data", "seq", "model"))
+    return Mesh(arr.reshape(n_data, n_model), ("data", "model"))
 
 
 def _ici_major_order(devices, n_model: int):

@@ -52,6 +52,11 @@ def parse_args(argv=None):
                    help="eval_wa: last epoch to average (default latest)")
     p.add_argument("--ckpt", help="checkpoint for --run-type eval "
                                   "(orbax dir or torch .pth)")
+    p.add_argument("--n-seq", type=int, default=1,
+                   help="sequence-parallel axis size: mixers' scans shard "
+                        "token length over a 'seq' mesh axis "
+                        "(ops/seq_parallel.py); composes with --n-model "
+                        "and data parallelism. Reference has no analogue.")
     p.add_argument("--n-model", type=int, default=1,
                    help="mesh model-axis size (TP)")
     # Multi-host (multi-process) execution: the reference's `accelerate
@@ -168,7 +173,7 @@ def _build_epic_pipelines(cfg, args):
     return train_pipe, val_pipe, eval_pipe
 
 
-def build_model_and_params(cfg, rng, example_x):
+def build_model_and_params(cfg, rng, example_x, seq_axis=None):
     from aum_tpu.convert import (
         load_torch_checkpoint,
         port_aum_state_dict,
@@ -191,8 +196,9 @@ def build_model_and_params(cfg, rng, example_x):
         return model, model.init(rng, example_x)
 
     mcfg = cfg.model_config()
-    model = AudioMamba(mcfg)
-    params = model.init(rng, example_x)
+    model = AudioMamba(mcfg, seq_axis=seq_axis)
+    # init single-device (no seq sharding needed to build shapes)
+    params = AudioMamba(mcfg).init(rng, example_x)
     if cfg.imagenet_pretrain_path:
         sd = load_torch_checkpoint(cfg.imagenet_pretrain_path, "model")
         params = merge_with_init(
@@ -227,11 +233,29 @@ def main(argv=None):
 
     train_pipe, val_pipe, eval_pipe = build_pipelines(cfg, args)
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_data=n_dev // args.n_model, n_model=args.n_model)
+    mesh = make_mesh(n_data=n_dev // (args.n_model * args.n_seq),
+                     n_model=args.n_model, n_seq=args.n_seq)
+    if args.n_seq > 1:
+        # Sequence parallelism: the mixers' scans run length-sharded over
+        # the 'seq' axis (ops/seq_parallel.py::sharded_scan_in_jit reads
+        # the ambient mesh), composing with DP over 'data' and TP over
+        # 'model' in the same jit. Context-scoped so in-process callers
+        # (tests) don't leak the ambient mesh.
+        with jax.set_mesh(mesh):
+            return _main_impl(args, cfg, mesh, "seq",
+                              train_pipe, val_pipe, eval_pipe)
+    return _main_impl(args, cfg, mesh, None, train_pipe, val_pipe, eval_pipe)
+
+
+def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
+    from aum_tpu.parallel.multihost import globalize_batches
+    from aum_tpu.train import Checkpointer, evaluate, make_eval_step, \
+        make_optimizer
+    from aum_tpu.train.loop import TrainState, init_train_state, train_loop
 
     example = np.zeros((1, cfg.audio_length, cfg.melbins), np.float32)
     model, params = build_model_and_params(
-        cfg, jax.random.PRNGKey(cfg.seed), example)
+        cfg, jax.random.PRNGKey(cfg.seed), example, seq_axis=seq_axis)
 
     hp = cfg.train_hp()
     spe = train_pipe.steps_per_epoch() if train_pipe else 1

@@ -266,8 +266,12 @@ def evaluate(
 
 def init_train_state(model, tx, rng, example_x, mesh=None) -> TrainState:
     """Init params (+optionally place them in the mesh's TP layout) and the
-    optimizer state (jitted so mu/nu inherit the param shardings)."""
-    params = model.init(rng, example_x)
+    optimizer state (jitted so mu/nu inherit the param shardings).
+
+    The init itself is jitted too: a seq_axis model's partial-manual
+    shard_map (ops/seq_parallel.py::sharded_scan_in_jit) only traces under
+    jit, and jit also caches the init across calls."""
+    params = jax.jit(model.init)(rng, example_x)
     if mesh is not None:
         params = shard_params(params, mesh)
     opt_state = jax.jit(tx.init)(params)

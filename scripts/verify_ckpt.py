@@ -117,9 +117,83 @@ def reference_logits(args, x):
         return model(torch.from_numpy(np.asarray(x))).float().numpy()
 
 
+def raw_fbank_clips(paths, args):
+    """Per-clip RAW Kaldi fbank (no pad/crop, no normalization) — exactly
+    the reference's feature step (dataloader.py:120-135: mean-subtract the
+    waveform, then torchaudio.compliance.kaldi.fbank with htk_compat=True,
+    window 'hanning', dither 0). Used by the --features golden modes."""
+    import jax.numpy as jnp
+
+    from aum_tpu.audio.fbank import FbankConfig, fbank
+    from aum_tpu.data.datasets import load_wav
+
+    clips = []
+    for p in paths:
+        if p.lower().endswith(".wav"):
+            w, _sr = load_wav(p)
+        else:
+            from aum_tpu.data.native import decode_audio
+
+            out, n, _sr = decode_audio(p, None)
+            w = out[:n]
+        w = (w - w.mean()).astype(np.float32)
+        fb = fbank(jnp.asarray(w),
+                   FbankConfig(num_mel_bins=args.melbins))
+        clips.append(np.asarray(fb, dtype=np.float32))
+    return clips
+
+
+def run_feature_mode(args):
+    """--features / --features-record-to: frontend-only golden compare
+    (VERDICT r3 #6). Record the comparison file on any torchaudio host with:
+
+        import numpy as np, torchaudio
+        arrs = {}
+        for i, p in enumerate(paths):
+            w, sr = torchaudio.load(p); w = w - w.mean()
+            arrs[f"clip_{i:03d}"] = torchaudio.compliance.kaldi.fbank(
+                w, htk_compat=True, sample_frequency=sr, use_energy=False,
+                window_type='hanning', num_mel_bins=128, dither=0.0,
+                frame_shift=10).numpy()
+        np.savez("features.npz", **arrs)
+
+    then here: verify_ckpt.py --wav <same clips...> --features features.npz
+    compares clip-by-clip. A silent frontend mismatch is the most likely
+    failure mode on real-checkpoint day; this isolates it from the model.
+    """
+    assert args.wav, "--features modes need --wav clips"
+    clips = raw_fbank_clips(args.wav, args)
+    if args.features_record_to:
+        np.savez(args.features_record_to,
+                 **{f"clip_{i:03d}": c for i, c in enumerate(clips)})
+        print(f"recorded {len(clips)} raw fbank clips -> "
+              f"{args.features_record_to}")
+    rc = 0
+    if args.features:
+        g = np.load(args.features)
+        names = sorted(k for k in g.files if k.startswith("clip_"))
+        assert len(names) == len(clips), (names, len(clips))
+        for name, ours in zip(names, clips):
+            ref = g[name]
+            if ref.shape != ours.shape:
+                print(f"{name}: SHAPE MISMATCH ours {ours.shape} vs "
+                      f"golden {ref.shape}")
+                rc = 1
+                continue
+            err = float(np.abs(ours - ref).max())
+            status = "OK" if err <= args.features_atol else "FAIL"
+            if status == "FAIL":
+                rc = 1
+            print(f"{name}: frames={ref.shape[0]} max|Δ|={err:.6f} "
+                  f"(atol {args.features_atol}) {status}")
+        print("FEATURES PARITY " + ("OK" if rc == 0 else "FAIL"))
+    return rc
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--ckpt", required=True, help="torch .pth checkpoint")
+    p.add_argument("--ckpt", help="torch .pth checkpoint (not needed for "
+                                  "the --features-only modes)")
     p.add_argument("--model-type", default="base")
     p.add_argument("--aum-type", default="Fo-Bi")
     p.add_argument("--n-class", type=int, default=527)
@@ -143,10 +217,29 @@ def main(argv=None):
                    help="logit tolerance vs golden (bf16 + TPU numerics)")
     p.add_argument("--label-csv", help="for top-k display names")
     p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--features",
+                   help=".npz of per-clip raw torchaudio-Kaldi fbanks "
+                        "(clip_000, clip_001, ...) to compare the frontend "
+                        "against, clip-by-clip (see run_feature_mode for "
+                        "the recording recipe)")
+    p.add_argument("--features-record-to",
+                   help="save this frontend's raw per-clip fbanks to .npz "
+                        "(same schema)")
+    p.add_argument("--features-atol", type=float, default=2e-3,
+                   help="raw log-mel tolerance (fp32 fft + matmul "
+                        "reassociation vs torchaudio)")
     args = p.parse_args(argv)
 
     import jax
 
+    if args.features or args.features_record_to:
+        rc = run_feature_mode(args)
+        if not args.ckpt:
+            return rc
+        if rc:
+            return rc
+
+    assert args.ckpt, "--ckpt required (or use the --features-only modes)"
     model, params, cfg = build_model_and_params(args)
     if args.fbank_npz:
         x = np.load(args.fbank_npz)["x"].astype(np.float32)
