@@ -380,3 +380,86 @@ def load_pretrained(directory: str):
     with open(os.path.join(directory, "weights.pkl"), "rb") as f:
         params = pickle.load(f)
     return jax.tree.map(jnp.asarray, params), cfg
+
+
+def port_lm_state_dict(sd, cfg: MambaLMConfig):
+    """Torch MambaLMHeadModel state dict -> this module's flax params.
+
+    Layout source: mixer_seq_simple.py (backbone.embedding / layers.N.mixer
+    / norm_f, tied lm_head:219-224) + mamba_simple.py's per-mixer params.
+    Matmul weights transpose (torch stores (out, in)); the fused in_proj's
+    rows split into the x / z halves; conv1d drops its singleton channel
+    axis; per-layer leaves stack on a leading n_layer axis (nn.scan
+    layout). `sd` is {name: np.ndarray} (aum_tpu.convert
+    .load_torch_checkpoint output)."""
+    import numpy as np
+
+    d_in = cfg.d_inner
+
+    def layer(i, name):
+        return np.asarray(sd[f"backbone.layers.{i}.{name}"])
+
+    def stack(name, f):
+        return jnp.asarray(np.stack([f(layer(i, name))
+                                     for i in range(cfg.n_layer)]))
+
+    t = np.transpose
+    params = {
+        "embedding": jnp.asarray(np.asarray(
+            sd["backbone.embedding.weight"])),
+        "norm_f_weight": jnp.asarray(np.asarray(
+            sd["backbone.norm_f.weight"])),
+        "norm_weight": stack("norm.weight", lambda w: w),
+        "in_proj_x": stack("mixer.in_proj.weight",
+                           lambda w: t(w[:d_in])),
+        "in_proj_z": stack("mixer.in_proj.weight",
+                           lambda w: t(w[d_in:])),
+        "conv_w": stack("mixer.conv1d.weight", lambda w: w[:, 0, :]),
+        "conv_b": stack("mixer.conv1d.bias", lambda w: w),
+        "x_proj": stack("mixer.x_proj.weight", t),
+        "dt_w": stack("mixer.dt_proj.weight", t),
+        "dt_b": stack("mixer.dt_proj.bias", lambda w: w),
+        "A_log": stack("mixer.A_log", lambda w: w),
+        "D": stack("mixer.D", lambda w: w),
+        "out_proj": stack("mixer.out_proj.weight", t),
+    }
+    emb = params["embedding"]
+    assert emb.shape == (cfg.padded_vocab, cfg.d_model), emb.shape
+    return {"params": params}
+
+
+def from_pretrained_hf(model_name: str):
+    """-> (params, MambaLMConfig) from a HuggingFace-hub model id (e.g.
+    "state-spaces/mamba-130m") or a local HF-format directory.
+
+    Mirrors utils/hf.py:10-23 (load_config_hf/load_state_dict_hf via
+    transformers' cached_file): downloads/caches config.json +
+    pytorch_model.bin, then ports the torch layout. Works offline against
+    a local directory containing the two files (the test path — this
+    build environment has no egress)."""
+    import json
+    import os
+
+    from aum_tpu.convert import load_torch_checkpoint
+
+    if os.path.isdir(model_name):
+        config_file = os.path.join(model_name, "config.json")
+        weights_file = os.path.join(model_name, "pytorch_model.bin")
+    else:
+        from transformers.utils import CONFIG_NAME, WEIGHTS_NAME
+        from transformers.utils.hub import cached_file
+
+        config_file = cached_file(
+            model_name, CONFIG_NAME, _raise_exceptions_for_missing_entries=False)
+        weights_file = cached_file(
+            model_name, WEIGHTS_NAME, _raise_exceptions_for_missing_entries=False)
+    with open(config_file) as f:
+        raw = json.load(f)
+    cfg = MambaLMConfig(
+        d_model=raw["d_model"], n_layer=raw["n_layer"],
+        vocab_size=raw["vocab_size"],
+        pad_vocab_size_multiple=raw.get("pad_vocab_size_multiple", 8),
+        **{k: raw[k] for k in ("d_state", "d_conv", "expand")
+           if k in raw})
+    sd = load_torch_checkpoint(weights_file)
+    return port_lm_state_dict(sd, cfg), cfg

@@ -101,3 +101,74 @@ def test_save_load_pretrained_roundtrip(tmp_path):
     out1 = model.apply(params, ids)
     out2 = MambaLM(cfg2).apply(params2, ids)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_from_pretrained_hf_local_dir(tmp_path):
+    """from_pretrained_hf: HF-format directory (config.json +
+    pytorch_model.bin, the files utils/hf.py:10-23 fetches from the hub) ->
+    ported flax params with the exact init tree structure, transposed
+    matmul weights, split in_proj halves, and a finite forward. The hub
+    leg uses transformers.utils.hub.cached_file with the same two
+    filenames; offline here (no egress), the local-directory path proves
+    the port."""
+    import json
+
+    import torch
+
+    from aum_tpu.models.lm import MambaLM, from_pretrained_hf
+
+    cfg = MambaLMConfig(d_model=64, n_layer=2, vocab_size=50, d_state=8)
+    rng = np.random.default_rng(11)
+    d_in, r, n = cfg.d_inner, cfg.dt_rank, cfg.d_state
+    sd = {"backbone.embedding.weight":
+          rng.standard_normal((cfg.padded_vocab, cfg.d_model)),
+          "backbone.norm_f.weight": 1.0 + rng.standard_normal(cfg.d_model) * 0.02,
+          "lm_head.weight": np.zeros((cfg.padded_vocab, cfg.d_model))}
+    for i in range(cfg.n_layer):
+        p = f"backbone.layers.{i}."
+        sd[p + "norm.weight"] = 1.0 + rng.standard_normal(cfg.d_model) * 0.02
+        sd[p + "mixer.in_proj.weight"] = rng.standard_normal(
+            (2 * d_in, cfg.d_model)) * 0.05
+        sd[p + "mixer.conv1d.weight"] = rng.standard_normal((d_in, 1, 4)) * 0.1
+        sd[p + "mixer.conv1d.bias"] = rng.standard_normal(d_in) * 0.1
+        sd[p + "mixer.x_proj.weight"] = rng.standard_normal(
+            (r + 2 * n, d_in)) * 0.05
+        sd[p + "mixer.dt_proj.weight"] = rng.standard_normal((d_in, r)) * 0.1
+        sd[p + "mixer.dt_proj.bias"] = rng.standard_normal(d_in) - 4.0
+        sd[p + "mixer.A_log"] = np.log(np.tile(
+            np.arange(1, n + 1, dtype=np.float64), (d_in, 1)))
+        sd[p + "mixer.D"] = 1.0 + rng.standard_normal(d_in) * 0.02
+        sd[p + "mixer.out_proj.weight"] = rng.standard_normal(
+            (cfg.d_model, d_in)) * 0.05
+    hf_dir = tmp_path / "hub_model"
+    hf_dir.mkdir()
+    (hf_dir / "config.json").write_text(json.dumps({
+        "d_model": cfg.d_model, "n_layer": cfg.n_layer,
+        "vocab_size": cfg.vocab_size, "d_state": cfg.d_state,
+        "ssm_cfg": {}, "rms_norm": True, "fused_add_norm": True,
+        "pad_vocab_size_multiple": 8}))
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in sd.items()}, str(hf_dir / "pytorch_model.bin"))
+
+    params, got_cfg = from_pretrained_hf(str(hf_dir))
+    assert got_cfg.d_model == 64 and got_cfg.n_layer == 2
+    assert got_cfg.d_state == 8 and got_cfg.padded_vocab == 56
+
+    model = MambaLM(got_cfg)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    fa = jax.tree_util.tree_flatten_with_path(init)
+    fb = jax.tree_util.tree_flatten_with_path(params)
+    assert [k for k, _ in fa[0]] == [k for k, _ in fb[0]]
+    for (path, a), (_, b) in zip(fa[0], fb[0]):
+        assert a.shape == b.shape, (path, a.shape, b.shape)
+    # transposes + in_proj split: row d of torch in_proj == column d of x half
+    w0 = sd["backbone.layers.0.mixer.in_proj.weight"].astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["in_proj_x"][0])[:, 3], w0[3], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["in_proj_z"][0])[:, 5],
+        w0[cfg.d_inner + 5], rtol=1e-6)
+
+    logits = jax.jit(model.apply)(
+        params, jnp.asarray([[1, 4, 9, 2]], jnp.int32))
+    assert logits.shape == (1, 4, 56) and np.isfinite(np.asarray(logits)).all()
