@@ -33,7 +33,7 @@ CHUNKS=(
   "tests/test_lm.py tests/test_model.py tests/test_multihost.py"
   "tests/test_runner.py"
   "tests/test_scan_partition.py tests/test_selective_scan.py tests/test_seq_parallel.py tests/test_serving.py"
-  "tests/test_tp_layout.py tests/test_fetch_verify.py"
+  "tests/test_tp_layout.py tests/test_fetch_verify.py tests/test_pipeline.py"
   "tests/test_torch_port.py tests/test_train.py"
   "tests/test_ref_parity.py"
 )
