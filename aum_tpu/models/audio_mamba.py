@@ -151,6 +151,14 @@ class AudioMamba(nn.Module):
     # axis (ops/seq_parallel.py); composes with GSPMD DP/TP. Requires an
     # ambient mesh (jax.set_mesh) carrying the axis.
     seq_axis: Optional[str] = None
+    # Pipeline-parallel axis name: the block stack runs GPipe-style over
+    # this mesh axis (parallel/pipeline.py), depth-sharded with
+    # `pipe_microbatches` microbatches (batch must divide). Composes with
+    # GSPMD DP/TP; not combinable with seq_axis (nested partial-manual
+    # shard_maps — unsupported). Init always runs the sequential stack
+    # (identical params); apply reads the stacked params and pipelines.
+    pipe_axis: Optional[str] = None
+    pipe_microbatches: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array, return_features: bool = False,
@@ -325,31 +333,70 @@ class AudioMamba(nn.Module):
         if remat_mode == "block":
             cell_cls = nn.remat(_BlockCell, prevent_cse=False)
             pair_cls = nn.remat(_BlockPair, prevent_cse=False)
+        if self.pipe_axis is not None and self.seq_axis is not None:
+            raise ValueError("pipe_axis and seq_axis cannot be combined "
+                             "(nested partial-manual shard_maps)")
+        # Pipeline parallelism: in apply mode, read the nn.scan-owned
+        # stacked params ('layers' subtree — identical structure either
+        # way) and run the SAME cell module GPipe-style over pipe_axis
+        # (parallel/pipeline.py). Init (and non-pipe runs) use the
+        # sequential nn.scan.
+        pipelined = (self.pipe_axis is not None
+                     and not self.is_initializing())
         if not cfg.if_bidirectional:
-            ScannedBlock = nn.scan(
-                cell_cls,
-                variable_axes={"params": 0},
-                split_rngs={"params": True},
-                length=cfg.depth,
-                metadata_params={nn.meta.PARTITION_NAME: "layers"},
-            )
-            (hidden, residual), _ = ScannedBlock(
-                block_kwargs=block_kwargs, rope_bufs=rope_bufs,
-                rope_residual=cfg.if_rope_residual,
-                n_prefix=cfg.num_prefix_tokens,
-                name="layers")((x, res0), None)
+            if pipelined:
+                from aum_tpu.parallel.pipeline import (
+                    block_stage_fn,
+                    pipeline_apply,
+                )
+
+                cell = cell_cls(
+                    block_kwargs=block_kwargs, rope_bufs=rope_bufs,
+                    rope_residual=cfg.if_rope_residual,
+                    n_prefix=cfg.num_prefix_tokens)
+                hidden, residual = pipeline_apply(
+                    block_stage_fn(cell),
+                    self.get_variable("params", "layers"), (x, res0),
+                    axis=self.pipe_axis,
+                    microbatches=self.pipe_microbatches)
+            else:
+                ScannedBlock = nn.scan(
+                    cell_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=cfg.depth,
+                    metadata_params={nn.meta.PARTITION_NAME: "layers"},
+                )
+                (hidden, residual), _ = ScannedBlock(
+                    block_kwargs=block_kwargs, rope_bufs=rope_bufs,
+                    rope_residual=cfg.if_rope_residual,
+                    n_prefix=cfg.num_prefix_tokens,
+                    name="layers")((x, res0), None)
         else:
             # Paired forward/backward layers (mamba_models.py:624-638): layer
             # 2i on the sequence, layer 2i+1 on the reversed sequence, summed.
-            ScannedPair = nn.scan(
-                pair_cls,
-                variable_axes={"params": 0},
-                split_rngs={"params": True},
-                length=cfg.depth // 2,
-                metadata_params={nn.meta.PARTITION_NAME: "layers"},
-            )
-            (hidden, residual), _ = ScannedPair(
-                block_kwargs=block_kwargs, name="layers")((x, res0), None)
+            if pipelined:
+                from aum_tpu.parallel.pipeline import (
+                    block_stage_fn,
+                    pipeline_apply,
+                )
+
+                cell = pair_cls(block_kwargs=block_kwargs)
+                hidden, residual = pipeline_apply(
+                    block_stage_fn(cell),
+                    self.get_variable("params", "layers"), (x, res0),
+                    axis=self.pipe_axis,
+                    microbatches=self.pipe_microbatches)
+            else:
+                ScannedPair = nn.scan(
+                    pair_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=cfg.depth // 2,
+                    metadata_params={nn.meta.PARTITION_NAME: "layers"},
+                )
+                (hidden, residual), _ = ScannedPair(
+                    block_kwargs=block_kwargs, name="layers")((x, res0), None)
 
         norm_f_w = self.param("norm_f_weight", nn.initializers.ones,
                               (cfg.embed_dim,))

@@ -66,9 +66,11 @@ def make_mesh(
     n_model: int = 1,
     devices=None,
     n_seq: int = 1,
+    n_pipe: int = 1,
 ) -> Mesh:
-    """Build a ('data', 'model') — or, with n_seq > 1,
-    ('data', 'seq', 'model') — mesh over the available devices.
+    """Build a ('data', 'model') mesh — growing 'seq' and/or 'pipe' axes
+    (ordered ('data', 'pipe', 'seq', 'model'), innermost = fastest
+    interconnect need) when n_seq / n_pipe exceed 1.
 
     Devices are laid out ICI-major (`_ici_major_order`): every size-n_model
     'model' group (and, around it, each 'seq' group — its per-token carry
@@ -83,14 +85,18 @@ def make_mesh(
         devices = jax.devices()
     n_total = len(devices)
     if n_data is None:
-        n_data = n_total // (n_model * n_seq)
-    assert n_data * n_model * n_seq == n_total, (
-        n_data, n_seq, n_model, n_total)
-    arr = _ici_major_order(devices, n_model * n_seq)
+        n_data = n_total // (n_model * n_seq * n_pipe)
+    assert n_data * n_model * n_seq * n_pipe == n_total, (
+        n_data, n_pipe, n_seq, n_model, n_total)
+    arr = _ici_major_order(devices, n_model * n_seq * n_pipe)
+    axes = [("data", n_data)]
+    if n_pipe > 1:
+        axes.append(("pipe", n_pipe))
     if n_seq > 1:
-        return Mesh(arr.reshape(n_data, n_seq, n_model),
-                    ("data", "seq", "model"))
-    return Mesh(arr.reshape(n_data, n_model), ("data", "model"))
+        axes.append(("seq", n_seq))
+    axes.append(("model", n_model))
+    return Mesh(arr.reshape([n for _, n in axes]),
+                tuple(name for name, _ in axes))
 
 
 def _ici_major_order(devices, n_model: int):
@@ -126,27 +132,37 @@ def _ici_major_order(devices, n_model: int):
     return np.asarray(devs, dtype=object)
 
 
-def _leaf_spec(path: tuple, leaf, model_axis: str) -> P:
+def _leaf_spec(path: tuple, leaf, model_axis: str,
+               pipe_axis: Optional[str] = None) -> P:
     names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     leaf_name = names[-1]
     stacked = "layers" in names  # nn.scan stacked params have a leading axis
+    spec = [None] * leaf.ndim
+    if stacked and pipe_axis is not None:
+        # pipeline parallelism: the stacked depth axis lives on 'pipe', so
+        # each stage holds only its depth/n_pipe layer slice.
+        spec[0] = pipe_axis
     if leaf_name in _MIXER_D_INNER_AXIS and any(
             n == "mixer" for n in names):
         axis = _MIXER_D_INNER_AXIS[leaf_name] + (1 if stacked else 0)
-        spec = [None] * leaf.ndim
         spec[axis] = model_axis
-        return P(*spec)
-    return P()
+    return P(*spec)
 
 
-def param_partition_specs(params, model_axis: str = "model"):
-    """PartitionSpec pytree for the model params (TP over d_inner)."""
+def param_partition_specs(params, model_axis: str = "model",
+                          pipe_axis: Optional[str] = None):
+    """PartitionSpec pytree for the model params (TP over d_inner; with
+    pipe_axis, the stacked block depth over 'pipe' as well)."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _leaf_spec(path, leaf, model_axis), params)
+        lambda path, leaf: _leaf_spec(path, leaf, model_axis, pipe_axis),
+        params)
 
 
 def shard_params(params, mesh: Mesh, model_axis: str = "model"):
-    """Place params on the mesh according to the TP layout."""
-    specs = param_partition_specs(params, model_axis)
+    """Place params on the mesh according to the TP (+PP) layout. The
+    depth axis of the stacked blocks is sharded automatically when the
+    mesh carries a 'pipe' axis."""
+    pipe_axis = "pipe" if "pipe" in mesh.axis_names else None
+    specs = param_partition_specs(params, model_axis, pipe_axis=pipe_axis)
     return jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)

@@ -57,6 +57,13 @@ def parse_args(argv=None):
                         "token length over a 'seq' mesh axis "
                         "(ops/seq_parallel.py); composes with --n-model "
                         "and data parallelism. Reference has no analogue.")
+    p.add_argument("--n-pipe", type=int, default=1,
+                   help="pipeline-parallel axis size: the block stack runs "
+                        "GPipe-style depth-sharded over a 'pipe' mesh axis "
+                        "(parallel/pipeline.py). Not combinable with "
+                        "--n-seq. Reference has no analogue.")
+    p.add_argument("--pipe-microbatches", type=int, default=4,
+                   help="GPipe microbatches per step (batch must divide)")
     p.add_argument("--n-model", type=int, default=1,
                    help="mesh model-axis size (TP)")
     # Multi-host (multi-process) execution: the reference's `accelerate
@@ -173,7 +180,8 @@ def _build_epic_pipelines(cfg, args):
     return train_pipe, val_pipe, eval_pipe
 
 
-def build_model_and_params(cfg, rng, example_x, seq_axis=None):
+def build_model_and_params(cfg, rng, example_x, seq_axis=None,
+                           pipe_axis=None, pipe_microbatches=4):
     from aum_tpu.convert import (
         load_torch_checkpoint,
         port_aum_state_dict,
@@ -196,8 +204,9 @@ def build_model_and_params(cfg, rng, example_x, seq_axis=None):
         return model, model.init(rng, example_x)
 
     mcfg = cfg.model_config()
-    model = AudioMamba(mcfg, seq_axis=seq_axis)
-    # init single-device (no seq sharding needed to build shapes)
+    model = AudioMamba(mcfg, seq_axis=seq_axis, pipe_axis=pipe_axis,
+                       pipe_microbatches=pipe_microbatches)
+    # init single-device (no seq/pipe sharding needed to build shapes)
     params = AudioMamba(mcfg).init(rng, example_x)
     if cfg.imagenet_pretrain_path:
         sd = load_torch_checkpoint(cfg.imagenet_pretrain_path, "model")
@@ -233,16 +242,21 @@ def main(argv=None):
 
     train_pipe, val_pipe, eval_pipe = build_pipelines(cfg, args)
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_data=n_dev // (args.n_model * args.n_seq),
-                     n_model=args.n_model, n_seq=args.n_seq)
-    if args.n_seq > 1:
-        # Sequence parallelism: the mixers' scans run length-sharded over
-        # the 'seq' axis (ops/seq_parallel.py::sharded_scan_in_jit reads
-        # the ambient mesh), composing with DP over 'data' and TP over
-        # 'model' in the same jit. Context-scoped so in-process callers
-        # (tests) don't leak the ambient mesh.
+    assert not (args.n_seq > 1 and args.n_pipe > 1), \
+        "--n-seq and --n-pipe cannot be combined"
+    mesh = make_mesh(
+        n_data=n_dev // (args.n_model * args.n_seq * args.n_pipe),
+        n_model=args.n_model, n_seq=args.n_seq, n_pipe=args.n_pipe)
+    if args.n_seq > 1 or args.n_pipe > 1:
+        # Sequence/pipeline parallelism: the mixers' scans run
+        # length-sharded over 'seq' (ops/seq_parallel.py
+        # ::sharded_scan_in_jit) or the block stack runs GPipe-style over
+        # 'pipe' (parallel/pipeline.py); both read the ambient mesh and
+        # compose with DP over 'data' and TP over 'model' in the same jit.
+        # Context-scoped so in-process callers (tests) don't leak it.
         with jax.set_mesh(mesh):
-            return _main_impl(args, cfg, mesh, "seq",
+            return _main_impl(args, cfg, mesh,
+                              "seq" if args.n_seq > 1 else None,
                               train_pipe, val_pipe, eval_pipe)
     return _main_impl(args, cfg, mesh, None, train_pipe, val_pipe, eval_pipe)
 
@@ -255,7 +269,9 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
 
     example = np.zeros((1, cfg.audio_length, cfg.melbins), np.float32)
     model, params = build_model_and_params(
-        cfg, jax.random.PRNGKey(cfg.seed), example, seq_axis=seq_axis)
+        cfg, jax.random.PRNGKey(cfg.seed), example, seq_axis=seq_axis,
+        pipe_axis="pipe" if args.n_pipe > 1 else None,
+        pipe_microbatches=args.pipe_microbatches)
 
     hp = cfg.train_hp()
     spe = train_pipe.steps_per_epoch() if train_pipe else 1

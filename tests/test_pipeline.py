@@ -119,3 +119,95 @@ def test_pipeline_validates_divisibility():
         with pytest.raises(ValueError, match="not divisible"):
             pipeline_apply(block_stage_fn(cell), bad, carry,
                            axis="pipe", microbatches=4)
+
+
+def test_model_pipeline_matches_unsharded():
+    """AudioMamba(pipe_axis='pipe') — the framework wiring: apply mode
+    reads the nn.scan stacked params and pipelines them; logits must equal
+    the plain model's, on a ('data','pipe') mesh, including TP composition
+    on ('data','pipe','model')."""
+    from aum_tpu.models import AudioMamba, AudioMambaConfig
+    from aum_tpu.parallel import make_mesh, shard_params
+
+    cfg = AudioMambaConfig(
+        depth=4, embed_dim=128, spectrogram_size=(128, 64), num_classes=5,
+        d_state=8, bimamba_type="v2", remat=False)
+    plain = AudioMamba(cfg, use_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 64, 128))
+    params = plain.init(jax.random.PRNGKey(3), x[:1])
+    ref = np.asarray(jax.jit(plain.apply)(params, x))
+
+    for n_data, n_pipe, n_model in [(2, 4, 1), (2, 2, 2)]:
+        mesh = make_mesh(n_data=n_data, n_model=n_model, n_pipe=n_pipe)
+        pp = AudioMamba(cfg, use_kernel=True, pipe_axis="pipe",
+                        pipe_microbatches=4)
+        sharded = shard_params(params, mesh)
+        # PP layout: stacked depth axis on 'pipe'
+        blk = sharded["params"]["layers"]["block"]["mixer"]["A_log"]
+        assert "pipe" in tuple(blk.sharding.spec), blk.sharding
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        with jax.set_mesh(mesh):
+            out = np.asarray(jax.jit(pp.apply)(sharded, xs))
+        np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5,
+                                   err_msg=f"{n_data}x{n_pipe}x{n_model}")
+
+
+def test_train_step_loss_equality_pipeline():
+    """ONE full train step with the stack pipelined over 'pipe' equals the
+    unsharded step's loss and updated params (autodiff'd GPipe backward +
+    Adam on the pipe-sharded stacked params)."""
+    from aum_tpu.models import AudioMamba, AudioMambaConfig
+    from aum_tpu.parallel import make_mesh
+    from aum_tpu.train import TrainHyperParams, make_optimizer
+    from aum_tpu.train.loop import (
+        AugmentConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = AudioMambaConfig(
+        depth=4, embed_dim=128, spectrogram_size=(128, 64), num_classes=5,
+        d_state=8, bimamba_type="v2", remat=False)
+    tx = make_optimizer(TrainHyperParams(lr=1e-3, n_epochs=2),
+                        steps_per_epoch=4)
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, 64, 128))
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(5), (8,), 0, 5), 5)
+    batch = {"x": x, "y": y}
+    rng = jax.random.PRNGKey(6)
+
+    plain = AudioMamba(cfg, use_kernel=True)
+    state0 = init_train_state(plain, tx, jax.random.PRNGKey(7), x[:1])
+    step0 = make_train_step(plain, tx, None, loss_type="CE",
+                            augment=AugmentConfig(), donate=False)
+    s_ref, loss_ref = step0(state0, batch, rng)
+
+    mesh = make_mesh(n_data=2, n_model=1, n_pipe=4)
+    pp = AudioMamba(cfg, use_kernel=True, pipe_axis="pipe",
+                    pipe_microbatches=4)
+    with jax.set_mesh(mesh):
+        state1 = init_train_state(plain, tx, jax.random.PRNGKey(7), x[:1],
+                                  mesh=mesh)
+        step1 = make_train_step(pp, tx, mesh, loss_type="CE",
+                                augment=AugmentConfig(), donate=False)
+        s_pp, loss_pp = step1(state1, batch, rng)
+        np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                                   rtol=2e-6)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(s_ref.params)[0],
+                jax.tree_util.tree_flatten_with_path(s_pp.params)[0]):
+            s = np.abs(np.asarray(a)).max() + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b) / s, np.asarray(a) / s, atol=3e-6,
+                err_msg=str(pa))
+
+
+def test_model_rejects_pipe_plus_seq():
+    from aum_tpu.models import AudioMamba, AudioMambaConfig
+
+    cfg = AudioMambaConfig(depth=2, embed_dim=64,
+                           spectrogram_size=(128, 32), num_classes=3,
+                           d_state=8, remat=False)
+    m = AudioMamba(cfg, pipe_axis="pipe", seq_axis="seq")
+    with pytest.raises(ValueError, match="cannot be combined"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128)))

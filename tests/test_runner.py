@@ -282,3 +282,32 @@ def test_run_train_seq_parallel(spc_like_data, tmp_path):
     # context-scoped ambient mesh: gone after main() returns
     amb = jax.sharding.get_abstract_mesh()
     assert "seq" not in (amb.axis_names or ()), amb
+
+
+def test_run_train_pipeline_parallel(spc_like_data, tmp_path):
+    """--n-pipe 2 end-to-end through the CLI: one training epoch with the
+    block stack GPipe-pipelined over a 'pipe' mesh axis (DP over the
+    remaining devices), then eval — pipeline parallelism as a framework
+    flag (parallel/pipeline.py)."""
+    import jax
+    import numpy as np
+
+    from aum_tpu.run import main
+
+    exp_dir = str(tmp_path / "exp_pp")
+    history = main([
+        "--recipe", "speechcommands/aum-base_scratch",
+        "--data-train", spc_like_data["train"],
+        "--data-val", spc_like_data["valid"],
+        "--label-csv", spc_like_data["csv"],
+        "--exp-dir", exp_dir, "--num-workers", "2",
+        "--n-pipe", "2", "--pipe-microbatches", "4",
+        "--set", "depth=2", "--set", "n_class=4", "--set", "batch_size=8",
+        "--set", "n_epochs=1", "--set", "model_type=tiny",
+        "--set", "dtype=float32", "--set", "noise=False",
+    ])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["train_loss"])
+    assert os.path.exists(os.path.join(exp_dir, "result.csv"))
+    amb = jax.sharding.get_abstract_mesh()
+    assert "pipe" not in (amb.axis_names or ()), amb
