@@ -376,9 +376,28 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
                              default=float))
             np.savetxt(os.path.join(args.exp_dir, "predictions_eval.csv"),
                        scores, delimiter=",")
+            # Reference eval artifacts (run.py:297-328): per-class stats
+            # pickled whole, plus result_eval.csv = [main, mAUC,
+            # avg middle-of-PR precision, avg recall, d', loss] and the
+            # printed Avg Precision/Recall lines.
+            from aum_tpu.train import calculate_stats
+
+            stats = calculate_stats(scores, targets, full_curves=True)
+            mid_p = float(np.mean([
+                st["precisions"][len(st["precisions"]) // 2]
+                for st in stats]))
+            mid_r = float(np.mean([
+                st["recalls"][len(st["recalls"]) // 2] for st in stats]))
+            print(f"Avg Precision: {mid_p:.6f}\n"
+                  f"Avg Recall: {mid_r:.6f}\n"
+                  f"d_prime: {metrics['d_prime']:.6f}")
+            result = [metrics["main"], metrics["AUC"], mid_p, mid_r,
+                      metrics["d_prime"], metrics["loss"]]
+            np.savetxt(os.path.join(args.exp_dir, "result_eval.csv"),
+                       np.asarray(result, dtype=np.float64), delimiter=",")
             with open(os.path.join(args.exp_dir, "stats_eval.pickle"),
                       "wb") as f:
-                pickle.dump(metrics, f)
+                pickle.dump(stats, f)
         return metrics
 
     assert train_pipe is not None and val_pipe is not None

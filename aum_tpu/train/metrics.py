@@ -129,17 +129,43 @@ def calculate_stats(output: np.ndarray, target: np.ndarray,
             auc = _roc_auc_np(yt > 0.5, ys)
         entry = {"AP": ap, "auc": auc, "acc": acc}
         if full_curves:
-            # 1:1000-downsampled PR and ROC curves (stats.py:30-57).
-            try:
-                pre, rec, _ = _skm.precision_recall_curve(yt, ys)
-                fpr, tpr, _ = _skm.roc_curve(yt, ys)
-                entry.update({
-                    "precisions": pre[0::1000], "recalls": rec[0::1000],
-                    "fpr": fpr[0::1000], "fnr": (1.0 - tpr)[0::1000]})
-            except Exception:
-                pass
+            # 1:1000-downsampled PR and ROC curves (stats.py:30-57). The
+            # reference always emits them; fall back to the numpy curves
+            # when sklearn is absent/degenerate so 'precisions'/'recalls'
+            # are guaranteed present (result_eval.csv depends on them).
+            pre = rec = fpr = tpr = None
+            if _skm is not None:
+                try:
+                    pre, rec, _ = _skm.precision_recall_curve(yt, ys)
+                    fpr, tpr, _ = _skm.roc_curve(yt, ys)
+                except Exception:
+                    pre = None
+            if pre is None:
+                pre, rec, fpr, tpr = _pr_roc_curves_np(yt > 0.5, ys)
+            entry.update({
+                "precisions": pre[0::1000], "recalls": rec[0::1000],
+                "fpr": fpr[0::1000], "fnr": (1.0 - tpr)[0::1000]})
         stats.append(entry)
     return stats
+
+
+def _pr_roc_curves_np(yt: np.ndarray, ys: np.ndarray):
+    """Numpy PR + ROC curves over descending score thresholds (sklearn
+    fallback; same orientation as precision_recall_curve/roc_curve)."""
+    order = np.argsort(-ys, kind="mergesort")
+    y = yt[order].astype(np.int64)
+    tp = np.cumsum(y)
+    fp = np.cumsum(1 - y)
+    n_pos = max(int(y.sum()), 1)
+    n_neg = max(int((1 - y).sum()), 1)
+    precisions = tp / np.maximum(tp + fp, 1)
+    recalls = tp / n_pos
+    # sklearn appends the (precision=1, recall=0) endpoint and reverses.
+    precisions = np.concatenate([precisions[::-1], [1.0]])
+    recalls = np.concatenate([recalls[::-1], [0.0]])
+    fpr = np.concatenate([[0.0], fp / n_neg])
+    tpr = np.concatenate([[0.0], tp / n_pos])
+    return precisions, recalls, fpr, tpr
 
 
 def mean_average_precision(output, target) -> float:

@@ -90,7 +90,19 @@ def test_run_train_and_eval(spc_like_data, tmp_path):
         "--set", "model_type=tiny", "--set", "dtype=float32",
     ])
     assert 0.0 <= metrics["acc"] <= 1.0
-    assert os.path.exists(str(tmp_path / "expeval" / "stats_eval.pickle"))
+    # reference eval artifacts (run.py:297-328): stats_eval.pickle holds the
+    # PER-CLASS stats list; result_eval.csv has the 6 summary rows
+    # [main, mAUC, avg mid-PR precision, avg recall, d', loss].
+    import pickle
+
+    with open(str(tmp_path / "expeval" / "stats_eval.pickle"), "rb") as f:
+        stats = pickle.load(f)
+    assert isinstance(stats, list) and len(stats) == 4
+    assert "precisions" in stats[0] and "AP" in stats[0]
+    result = np.loadtxt(str(tmp_path / "expeval" / "result_eval.csv"),
+                        delimiter=",")
+    assert result.shape == (6,)
+    assert abs(float(result[0]) - metrics["acc"]) < 1e-9
 
 
 def test_run_eval_wa_and_ensemble(spc_like_data, tmp_path, capsys):
