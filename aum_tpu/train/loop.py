@@ -404,7 +404,11 @@ def train_loop(
                 _json.dump(progress, f)
             with open(_os.path.join(exp_dir,
                                     f"stats_{epoch}.pickle"), "wb") as f:
-                pickle.dump(metrics, f)
+                # Reference pickles the PER-CLASS stats list each epoch
+                # (traintest.py:241-242), curves included; the summary
+                # metrics live in result.csv/progress.json.
+                pickle.dump(calculate_stats(scores, targets,
+                                            full_curves=True), f)
             if save_predictions:
                 pdir = _os.path.join(exp_dir, "predictions")
                 _os.makedirs(pdir, exist_ok=True)
