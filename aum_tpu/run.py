@@ -229,10 +229,6 @@ def main(argv=None):
 
     from aum_tpu.configs import RECIPES
     from aum_tpu.parallel import make_mesh
-    from aum_tpu.parallel.multihost import globalize_batches
-    from aum_tpu.train import Checkpointer, evaluate, make_eval_step, \
-        make_optimizer
-    from aum_tpu.train.loop import TrainState, init_train_state, train_loop
 
     cfg = apply_overrides(RECIPES[args.recipe], args.set)
     if jax.process_index() == 0:
