@@ -211,3 +211,26 @@ def test_model_rejects_pipe_plus_seq():
     m = AudioMamba(cfg, pipe_axis="pipe", seq_axis="seq")
     with pytest.raises(ValueError, match="cannot be combined"):
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128)))
+
+
+def test_model_pipeline_bidirectional_pairs():
+    """if_bidirectional=True pipelines the _BlockPair cells (depth//2
+    stacked pairs) — the second wired branch in audio_mamba.py."""
+    from aum_tpu.models import AudioMamba, AudioMambaConfig
+    from aum_tpu.parallel import make_mesh, shard_params
+
+    cfg = AudioMambaConfig(
+        depth=4, embed_dim=128, spectrogram_size=(128, 64), num_classes=5,
+        d_state=8, bimamba_type="none", if_bidirectional=True, remat=False)
+    plain = AudioMamba(cfg, use_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(8), (8, 64, 128))
+    params = plain.init(jax.random.PRNGKey(9), x[:1])
+    ref = np.asarray(jax.jit(plain.apply)(params, x))
+    mesh = make_mesh(n_data=4, n_model=1, n_pipe=2)  # 2 stages x 1 pair
+    pp = AudioMamba(cfg, use_kernel=True, pipe_axis="pipe",
+                    pipe_microbatches=4)
+    sharded = shard_params(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        out = np.asarray(jax.jit(pp.apply)(sharded, xs))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)

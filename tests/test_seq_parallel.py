@@ -203,3 +203,26 @@ def test_train_step_loss_equality_seq_parallel():
             np.testing.assert_allclose(
                 np.asarray(b) / sc, np.asarray(a) / sc, atol=2e-6,
                 err_msg=str(pa))
+
+
+@pytest.mark.parametrize("bimamba_type", ["none", "v1"])
+def test_model_seq_parallel_other_variants(bimamba_type):
+    """seq_axis through the Fo-Fo (single-direction) and Fo-Bi (shared-
+    activation reverse) mixer variants — the non-v2 scan dispatches."""
+    from aum_tpu.models import AudioMamba, AudioMambaConfig
+    from aum_tpu.parallel import shard_params
+
+    mesh = _mesh3()
+    cfg = AudioMambaConfig(
+        depth=2, embed_dim=128, spectrogram_size=(128, 64), num_classes=5,
+        d_state=8, bimamba_type=bimamba_type, remat=False)
+    plain = AudioMamba(cfg, use_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 64, 128))
+    params = plain.init(jax.random.PRNGKey(7), x[:1])
+    ref = np.asarray(jax.jit(plain.apply)(params, x))
+    sp = AudioMamba(cfg, use_kernel=True, seq_axis="seq")
+    sharded = shard_params(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        out = np.asarray(jax.jit(sp.apply)(sharded, xs))
+    np.testing.assert_allclose(out, ref, rtol=4e-5, atol=4e-5)
