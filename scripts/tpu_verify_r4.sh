@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-4 verify drive: the TPU legs of .claude/skills/verify, serially.
+# Launch detached: setsid nohup bash scripts/tpu_verify_r4.sh > /tmp/tpu_verify_r4.log 2>&1 &
+#
+# Round-4 results on this host (2026-08-20): smoke_tpu OK (fwd 3.31 ms
+# B=4), entry forward (8, 527) bfloat16, bench 418.28 clips/s
+# (vs_baseline 0.644), train step B=12 149.1 ms (80.5 clips/s),
+# train_spc_synth final acc 0.375 / AUC 0.72 (14 epochs), ssd_probe:
+# factored SSD 9.69-12.78 ms vs 0.345 ms one-direction kernel.
+set -u
+cd "$(dirname "$0")/.."
+
+echo "== verify start: $(date) =="
+
+echo "== 1/5 smoke_tpu (kernel vs oracle on-chip) =="
+python scripts/smoke_tpu.py || exit 1
+
+echo "== 2/5 graft entry forward on-chip =="
+python __graft_entry__.py || exit 1
+
+echo "== 3/5 bench.py =="
+python bench.py || exit 1
+
+echo "== 4/5 train-step timing (B=12 bf16 split-remat) =="
+python scripts/bench_train_step.py || exit 1
+
+echo "== 5/5 e2e synthetic training slice (14 epochs, beats chance) =="
+python scripts/train_spc_synth.py || exit 1
+
+echo "== verify done: $(date) =="
