@@ -61,10 +61,12 @@ def pipeline_apply(stage_fn, stacked_params, carry, *, axis: str = "pipe",
     if depth % n_stages:
         raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
     batch = jax.tree_util.tree_leaves(carry)[0].shape[0]
-    if batch % microbatches:
-        raise ValueError(
-            f"batch {batch} not divisible by microbatches={microbatches}")
-    m = microbatches
+    # `microbatches` is an upper bound: fall back to the largest divisor of
+    # the actual batch (static at trace time). Eval pipelines keep their
+    # partial final batch, and a tail batch must still pipeline correctly —
+    # worst case m=1, which is plain sequential and exact.
+    m = max(v for v in range(1, min(microbatches, batch) + 1)
+            if batch % v == 0)
 
     p_specs = jax.tree.map(
         lambda a: P(axis, *([None] * (a.ndim - 1))), stacked_params)

@@ -108,17 +108,32 @@ def test_pipeline_composes_with_data_axis():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_pipeline_validates_divisibility():
-    cell, _, params, carry = _stack_and_inputs()
+def test_pipeline_validates_depth_and_adjusts_microbatches():
+    cell, scanned, params, carry = _stack_and_inputs()
     mesh = _pipe_mesh(4)
+    (h_ref, _), _ = scanned.apply(params, carry, None)
     with jax.set_mesh(mesh):
-        with pytest.raises(ValueError, match="not divisible"):
-            pipeline_apply(block_stage_fn(cell), params["params"], carry,
-                           axis="pipe", microbatches=3)
+        # depth must divide the stage count — hard error
         bad = jax.tree.map(lambda a: a[:6], params["params"])
         with pytest.raises(ValueError, match="not divisible"):
             pipeline_apply(block_stage_fn(cell), bad, carry,
                            axis="pipe", microbatches=4)
+        # microbatches is an UPPER BOUND: B=8 with microbatches=3 falls
+        # back to the largest divisor (2) and stays exact — eval pipelines
+        # keep partial tail batches, which must still pipeline.
+        h, _ = jax.jit(lambda p, c: pipeline_apply(
+            block_stage_fn(cell), p, c, axis="pipe", microbatches=3))(
+                params["params"], carry)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                                   rtol=2e-5, atol=2e-5)
+        # odd tail batch (B=5 -> m=1, plain sequential through the stages)
+        tail = jax.tree.map(lambda a: a[:5], carry)
+        (h_ref5, _), _ = scanned.apply(params, tail, None)
+        h5, _ = jax.jit(lambda p, c: pipeline_apply(
+            block_stage_fn(cell), p, c, axis="pipe", microbatches=4))(
+                params["params"], tail)
+        np.testing.assert_allclose(np.asarray(h5), np.asarray(h_ref5),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_model_pipeline_matches_unsharded():
