@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--exp-dir", required=True)
     p.add_argument("--run-type", default="train",
                    choices=["train", "eval", "eval_wa", "eval_ensemble"])
+    p.add_argument("--profile-dir",
+                   help="capture a TensorBoard-loadable jax.profiler trace "
+                        "of steady-state training steps 3-8 of epoch 1 "
+                        "into this directory (train/profiling.py)")
     p.add_argument("--wa-start", type=int,
                    help="eval_wa: first epoch to average (validate_wa "
                         "start_epoch, traintest.py:342; default earliest)")
@@ -429,6 +433,7 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
         nan2num=cfg.nan2num, continue_inf=cfg.continue_inf,
         exp_dir=args.exp_dir if is_main else None, checkpointer=ckptr,
         accum_steps=cfg.accum_steps,
+        profile_dir=args.profile_dir if is_main else None,
         flexible_patch_sizes=(list(cfg.flexible_patch_sizes)
                               if cfg.flexible_patch_sizes else None))
     print(f"best epoch {best['epoch']}: {cfg.metrics}={best['main']:.4f}")

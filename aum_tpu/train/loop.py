@@ -302,6 +302,8 @@ def train_loop(
     save_predictions: bool = False,
     flexible_patch_sizes=None,
     accum_steps: int = 1,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (3, 8),
 ):
     """Epoch loop: train, validate, track best, checkpoint (traintest.py:85-247).
 
@@ -343,6 +345,7 @@ def train_loop(
     history = []
     progress = []
     best = {"epoch": 0, "main": -np.inf}
+    prof_open = False
     for epoch in range(1, n_epochs + 1):
         state = reset_loss_accum(state)
         t_epoch = _time.time()
@@ -351,10 +354,24 @@ def train_loop(
         from aum_tpu.data.pipeline import Prefetcher
 
         for i, batch in enumerate(Prefetcher(train_batches(epoch))):
+            if (profile_dir is not None and epoch == 1
+                    and i == profile_steps[0]):
+                # Bounded-window XLA trace (TensorBoard-loadable) of steady
+                # -state training steps, past the compile steps. The
+                # reference has no profiling in its train path (SURVEY §5).
+                jax.profiler.start_trace(profile_dir)
+                prof_open = True
             rng, krun = jax.random.split(rng)
             state, loss = step_fn(state, batch, krun)
             n_clips += int(batch["x"].shape[0])
             n_steps += 1
+            if (profile_dir is not None and epoch == 1 and prof_open
+                    and i + 1 >= profile_steps[1]):
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                prof_open = False
+                print_fn(f"profiler trace (steps {profile_steps[0]}-"
+                         f"{profile_steps[1]}) -> {profile_dir}")
             if (i + 1) % log_every == 0:
                 # One host sync per log_every steps; the device-side
                 # accumulators make this check EXACT over every step since
@@ -368,6 +385,10 @@ def train_loop(
                         "traintest.py:157-165 exit-on-inf semantics)")
                 print_fn(f"epoch {epoch} step {i+1}: "
                          f"loss {float(loss):.4f}")
+        if prof_open:  # epoch shorter than the profile window
+            jax.profiler.stop_trace()
+            prof_open = False
+            print_fn(f"profiler trace (short epoch) -> {profile_dir}")
         train_secs = _time.time() - t_epoch
         n_bad = int(state.nonfinite_count)
         if n_bad and not continue_inf:

@@ -184,3 +184,47 @@ def test_cli_infer_smoke(tmp_path):
     assert out.returncode == 0, out.stderr[-800:]
     assert "random-init" in out.stdout
     assert "class" in out.stdout
+
+
+def test_train_loop_profile_window(tmp_path):
+    """train_loop(profile_dir=...) captures a bounded jax.profiler trace of
+    epoch-1 training steps and writes the TensorBoard plugin directory —
+    the runner exposes it as --profile-dir (reference: no profiling in its
+    train path, SURVEY §5)."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aum_tpu.models import AudioMamba, AudioMambaConfig
+    from aum_tpu.train import TrainHyperParams, make_optimizer
+    from aum_tpu.train.loop import (
+        AugmentConfig,
+        init_train_state,
+        train_loop,
+    )
+
+    cfg = AudioMambaConfig(depth=2, embed_dim=64, spectrogram_size=(128, 32),
+                           num_classes=4, d_state=8, remat=False)
+    model = AudioMamba(cfg, use_kernel=False)
+    tx = make_optimizer(TrainHyperParams(lr=1e-3, n_epochs=1),
+                        steps_per_epoch=4)
+    x = np.random.default_rng(0).standard_normal((8, 32, 128)).astype(
+        np.float32)
+    y = np.eye(4, dtype=np.float32)[np.arange(8) % 4]
+    batches = [{"x": jnp.asarray(x[i:i + 2]), "y": jnp.asarray(y[i:i + 2])}
+               for i in range(0, 8, 2)]
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(x[:1]))
+    prof = str(tmp_path / "trace")
+    train_loop(model, tx, None,
+               train_batches=lambda e: list(batches),
+               eval_batches=lambda: list(batches),
+               n_epochs=1, state=state, rng=jax.random.PRNGKey(1),
+               loss_type="CE", main_metric="acc", augment=AugmentConfig(),
+               exp_dir=None, profile_dir=prof, profile_steps=(1, 3))
+    found = glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert found, f"no trace written under {prof}"
