@@ -6,7 +6,8 @@
 # B=4), entry forward (8, 527) bfloat16, bench 418.28 clips/s
 # (vs_baseline 0.644), train step B=12 149.1 ms (80.5 clips/s),
 # train_spc_synth final acc 0.375 / AUC 0.72 (14 epochs), ssd_probe:
-# factored SSD 9.69-12.78 ms vs 0.345 ms one-direction kernel.
+# factored SSD 9.69-12.78 ms vs 0.345 ms one-direction kernel; TPU-platform
+# serving bundle export + load + pad-or-chunk predict green ((3,35) finite).
 set -u
 cd "$(dirname "$0")/.."
 
@@ -24,7 +25,20 @@ python bench.py || exit 1
 echo "== 4/5 train-step timing (B=12 bf16 split-remat) =="
 python scripts/bench_train_step.py || exit 1
 
-echo "== 5/5 e2e synthetic training slice (14 epochs, beats chance) =="
+echo "== 5/6 e2e synthetic training slice (14 epochs, beats chance) =="
 python scripts/train_spc_synth.py || exit 1
+
+echo "== 6/6 serving bundle export + predict on-chip =="
+python scripts/export_serving.py --out /tmp/b_tpu_verify.zip \
+  --platforms tpu --batch-sizes 1,4 --set model_type=tiny \
+  --set audio_length=128 --set n_class=35 || exit 1
+python -c "
+import numpy as np
+from aum_tpu.serving import load_bundle
+b = load_bundle('/tmp/b_tpu_verify.zip')
+out = np.asarray(b.predict(np.random.default_rng(0).standard_normal(
+    (3, 128, 128)).astype(np.float32)))
+assert out.shape == (3, 35) and np.isfinite(out).all(), out.shape
+print('serving predict OK', out.shape)" || exit 1
 
 echo "== verify done: $(date) =="
