@@ -13,16 +13,16 @@ cd "$(dirname "$0")/.."
 
 echo "== verify start: $(date) =="
 
-echo "== 1/5 smoke_tpu (kernel vs oracle on-chip) =="
+echo "== 1/6 smoke_tpu (kernel vs oracle on-chip) =="
 python scripts/smoke_tpu.py || exit 1
 
-echo "== 2/5 graft entry forward on-chip =="
+echo "== 2/6 graft entry forward on-chip =="
 python __graft_entry__.py || exit 1
 
-echo "== 3/5 bench.py =="
+echo "== 3/6 bench.py =="
 python bench.py || exit 1
 
-echo "== 4/5 train-step timing (B=12 bf16 split-remat) =="
+echo "== 4/6 train-step timing (B=12 bf16 split-remat) =="
 python scripts/bench_train_step.py || exit 1
 
 echo "== 5/6 e2e synthetic training slice (14 epochs, beats chance) =="
