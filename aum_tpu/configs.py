@@ -51,6 +51,7 @@ class ExperimentConfig:
     dataset_mean: float = -4.2677393
     dataset_std: float = 4.5689974
     noise: bool = False
+    fshift: float = 10.0                # fbank frame shift in ms (--fshift)
     metrics: str = "mAP"                # mAP | acc
     loss: str = "BCE"                   # BCE | CE
     warmup: bool = True
@@ -68,10 +69,33 @@ class ExperimentConfig:
     continue_inf: bool = False
     seed: int = SEEDS[0]
     depth: Optional[int] = None         # override model depth (testing/ablation)
+    # Stochastic depth rate (reference --aum_drop_path, run.py:85 ->
+    # drop_path_rate with the linear per-layer decay rule). All published
+    # recipes use 0.
+    aum_drop_path: float = 0.0
     flexible_patch_sizes: Optional[Tuple[int, ...]] = None  # flexible training
     # pretrained init
     imagenet_pretrain_path: Optional[str] = None
+    # Checkpoint-dict key holding the ViM state dict (reference
+    # --imagenet_pretrain_modelkey, run.py:70; 'model' for released ViM).
+    imagenet_pretrain_modelkey: str = "model"
     aum_pretrain_path: Optional[str] = None
+    # Pretrain-time strides for the pos-embed grid inference when they
+    # differ from this run's patch size (reference --aum_pretrain_fstride/
+    # tstride, run.py:75-76; None = patch size, the reference default 16).
+    aum_pretrain_fstride: Optional[int] = None
+    aum_pretrain_tstride: Optional[int] = None
+    # AST pretrain init (reference --ast_pretrain/--ast_pretrain_path +
+    # the --ast_fstride/--ast_tstride/--ast_input_fdim/--ast_input_tdim
+    # geometry, run.py:100-107): path to a nested AST audio checkpoint
+    # (timm model under `v.`, head under `mlp_head.`); the pos embed is
+    # retargeted from the pretrain grid these fields describe. Defaults
+    # match the reference flags.
+    ast_pretrain_path: Optional[str] = None
+    ast_pretrain_fstride: int = 16
+    ast_pretrain_tstride: int = 16
+    ast_pretrain_input_fdim: int = 128
+    ast_pretrain_input_tdim: int = 1024
 
     def model_config(self) -> AudioMambaConfig:
         cfg = AudioMambaConfig.from_variant(
@@ -79,7 +103,8 @@ class ExperimentConfig:
             spectrogram_size=(self.melbins, self.audio_length),
             patch_size=(self.fpatch_size, self.tpatch_size),
             strides=(self.fstride, self.tstride),
-            num_classes=self.n_class, dtype=self.dtype)
+            num_classes=self.n_class, dtype=self.dtype,
+            drop_path_rate=self.aum_drop_path)
         if self.depth is not None:
             cfg = dataclasses.replace(cfg, depth=self.depth)
         return cfg
@@ -91,7 +116,8 @@ class ExperimentConfig:
             timem=self.timem if train else 0,
             mixup=self.mixup if train else 0.0,
             dataset=self.dataset, mean=self.dataset_mean,
-            std=self.dataset_std, noise=self.noise and train)
+            std=self.dataset_std, noise=self.noise and train,
+            fshift=self.fshift)
 
     def train_hp(self) -> TrainHyperParams:
         return TrainHyperParams(

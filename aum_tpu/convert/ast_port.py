@@ -38,9 +38,22 @@ def port_deit_state_dict(sd: Dict, cfg: ASTConfig) -> Dict:
 
     pos = sd["pos_embed"].astype(np.float32)
     n_prefix = cfg.num_prefix
-    side = int(round((pos.shape[1] - n_prefix) ** 0.5))
-    if (side, side) != tuple(cfg.patch_grid):
-        pos = retarget_pos_embed(pos, (side, side), cfg.patch_grid, n_prefix)
+    n_tok = pos.shape[1] - n_prefix
+    tgt = tuple(cfg.patch_grid)
+    if n_tok != tgt[0] * tgt[1]:
+        # Square ImageNet-DeiT grid -> audio grid (ast_models.py:89-105).
+        # A pos embed whose token count already matches the target grid is
+        # taken as-is — e.g. one pre-retargeted from a (non-square) audio
+        # pretrain grid by port_ast_pretrain_state_dict, which the old
+        # square-grid inference here mangled (found by
+        # tests/test_drop_path.py::test_ast_pretrain_path_threading).
+        side = int(round(n_tok ** 0.5))
+        if side * side != n_tok:
+            raise ValueError(
+                f"pos_embed has {n_tok} tokens: neither square nor the "
+                f"target grid {tgt}; pass an explicit pretrain grid via "
+                "port_ast_pretrain_state_dict")
+        pos = retarget_pos_embed(pos, (side, side), tgt, n_prefix)
 
     params = {
         "patch_proj_weight": kernel,

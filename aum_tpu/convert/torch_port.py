@@ -107,6 +107,10 @@ def _mixer_params(sd: Dict, prefix: str, bimamba_type: str) -> Dict:
             "dt_proj_b_bias": g("dt_proj_b.bias"),
             "D_b": g("D_b"),
         })
+    if prefix + "gamma" in sd:
+        # LayerScale (init_layer_scale, mamba_simple.py:70-72) — optional,
+        # absent from every released checkpoint.
+        out["gamma"] = g("gamma")
     return out
 
 
@@ -317,6 +321,8 @@ def _mixer_to_torch(m: Dict, j: int, bt: str) -> Dict:
             "dt_proj_b.bias": g("dt_proj_b_bias"),
             "D_b": g("D_b"),
         })
+    if "gamma" in m:
+        out["gamma"] = g("gamma")
     return out
 
 

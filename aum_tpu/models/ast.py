@@ -97,7 +97,10 @@ class ASTModel(nn.Module):
     config: ASTConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # `train` is accepted for train-step interface parity with
+        # AudioMamba (drop_path/pos_drop plumbing); this encoder is
+        # deterministic (the reference AST's timm drop rates all default 0).
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         b = x.shape[0]

@@ -68,6 +68,10 @@ class AudioMambaConfig:
     use_double_cls_token: bool = False
     bimamba_type: str = "v2"
     if_devide_out: bool = True
+    # Per-mixer LayerScale gamma init value (reference init_layer_scale,
+    # mamba_models.py:234 -> mamba_simple.py:70-72; None = off, the
+    # default everywhere upstream).
+    init_layer_scale: Optional[float] = None
     if_bidirectional: bool = False
     transpose_token_sequence: bool = False
     # Rematerialize activations in the backward pass (jax.checkpoint): the
@@ -101,6 +105,16 @@ class AudioMambaConfig:
     remat_mode: str = "auto"
     if_rope: bool = False
     if_rope_residual: bool = False
+    # Stochastic depth (reference --aum_drop_path -> drop_path_rate,
+    # mamba_models.py:290-293): per-layer rates follow the linear decay rule
+    # inter_dpr = [0.0] + linspace(0, rate, depth)[:-1] (layer i >= 1 drops
+    # its incoming hidden with rate*(i-1)/(depth-1); the final add+norm
+    # drops at the full rate, :644-657). Train-time only (`train=True` +
+    # a 'dropout' rng); rate 0 traces the identical graph as before.
+    drop_path_rate: float = 0.0
+    # Dropout after the pos-embed add (reference drop_rate -> pos_drop,
+    # mamba_models.py:477/541; not CLI-exposed upstream, default 0).
+    drop_rate: float = 0.0
     dtype: str = "float32"
 
     @property
@@ -166,6 +180,7 @@ class AudioMamba(nn.Module):
                  if_random_cls_token_position: bool = False,
                  if_random_token_rank: bool = False,
                  flip_sequence_prob: float = 0.0,
+                 train: bool = False,
                  rng: Optional[jax.Array] = None) -> jax.Array:
         """Forward. `patch_size`/`strides` enable flexible-patch-size
         runs (FlexiPatchEmbed/FlexiPosEmbed, traintest.py:127-141): the
@@ -249,6 +264,9 @@ class AudioMamba(nn.Module):
                     n_prefix_tokens=cfg.num_prefix_tokens, name="pos_embed")(
                         x, token_position=token_position,
                         run_grid_size=run_grid)
+            if cfg.drop_rate > 0 and train:
+                # pos_drop (mamba_models.py:477/541).
+                x = nn.Dropout(rate=cfg.drop_rate, deterministic=False)(x)
 
         if cfg.transpose_token_sequence:
             # F-major -> T-major patch order (mamba_models.py:543-562):
@@ -310,6 +328,7 @@ class AudioMamba(nn.Module):
             d_model=cfg.embed_dim, norm_epsilon=cfg.norm_epsilon,
             rms_norm=cfg.rms_norm, residual_in_fp32=cfg.residual_in_fp32,
             bimamba_type=cfg.bimamba_type, if_devide_out=cfg.if_devide_out,
+            init_layer_scale=cfg.init_layer_scale,
             d_state=cfg.d_state, n_layer=cfg.depth, dtype=dtype,
             use_kernel=self.use_kernel, model_axis=self.model_axis,
             seq_axis=self.seq_axis,
@@ -343,6 +362,27 @@ class AudioMamba(nn.Module):
         # sequential nn.scan.
         pipelined = (self.pipe_axis is not None
                      and not self.is_initializing())
+        # Stochastic depth: per-layer drop rates (the reference's decay rule,
+        # mamba_models.py:290-293 — layer 0 rate 0, layer i >= 1 rate
+        # rate*(i-1)/(depth-1)). Passed as nn.scan xs so each scan step sees
+        # its own rate; None (the rate-0 / eval case) keeps the trace
+        # byte-identical to the no-drop-path graph.
+        use_dp = train and cfg.drop_path_rate > 0
+        dp_rates = None
+        if use_dp:
+            if pipelined:
+                raise NotImplementedError(
+                    "stochastic depth (drop_path_rate > 0) is not supported "
+                    "under pipeline parallelism (rng plumbing through the "
+                    "shard_map pipeline); train without --n-pipe or with "
+                    "drop_path_rate=0")
+            import numpy as _np
+
+            dpr = _np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+            inter = _np.concatenate([[0.0], dpr[:-1]]).astype(_np.float32)
+            dp_rates = jnp.asarray(
+                inter if not cfg.if_bidirectional
+                else inter.reshape(cfg.depth // 2, 2))
         if not cfg.if_bidirectional:
             if pipelined:
                 from aum_tpu.parallel.pipeline import (
@@ -363,7 +403,7 @@ class AudioMamba(nn.Module):
                 ScannedBlock = nn.scan(
                     cell_cls,
                     variable_axes={"params": 0},
-                    split_rngs={"params": True},
+                    split_rngs={"params": True, "dropout": True},
                     length=cfg.depth,
                     metadata_params={nn.meta.PARTITION_NAME: "layers"},
                 )
@@ -371,7 +411,7 @@ class AudioMamba(nn.Module):
                     block_kwargs=block_kwargs, rope_bufs=rope_bufs,
                     rope_residual=cfg.if_rope_residual,
                     n_prefix=cfg.num_prefix_tokens,
-                    name="layers")((x, res0), None)
+                    name="layers")((x, res0), dp_rates)
         else:
             # Paired forward/backward layers (mamba_models.py:624-638): layer
             # 2i on the sequence, layer 2i+1 on the reversed sequence, summed.
@@ -391,13 +431,19 @@ class AudioMamba(nn.Module):
                 ScannedPair = nn.scan(
                     pair_cls,
                     variable_axes={"params": 0},
-                    split_rngs={"params": True},
+                    split_rngs={"params": True, "dropout": True},
                     length=cfg.depth // 2,
                     metadata_params={nn.meta.PARTITION_NAME: "layers"},
                 )
                 (hidden, residual), _ = ScannedPair(
-                    block_kwargs=block_kwargs, name="layers")((x, res0), None)
+                    block_kwargs=block_kwargs,
+                    name="layers")((x, res0), dp_rates)
 
+        if use_dp:
+            # Final add+norm drops the last mixer output at the FULL rate
+            # (model-level self.drop_path, mamba_models.py:293/644-657).
+            hidden = _drop_path(self.make_rng("dropout"), hidden,
+                                cfg.drop_path_rate)
         norm_f_w = self.param("norm_f_weight", nn.initializers.ones,
                               (cfg.embed_dim,))
         norm_f_b = (None if cfg.rms_norm else self.param(
@@ -442,11 +488,26 @@ class AudioMamba(nn.Module):
         return logits
 
 
+def _drop_path(rng, x, rate):
+    """Per-sample stochastic depth (timm DropPath semantics, referenced by
+    mamba_models.py:51/71/90): with probability `rate` zero the whole branch
+    for a sample, scaling kept samples by 1/keep. `rate` may be a traced
+    scalar (a per-layer nn.scan input); rate 0 is an exact identity
+    (bernoulli(p=1) keeps everything, /1.0)."""
+    keep = jnp.float32(1.0) - jnp.asarray(rate, jnp.float32)
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep.astype(x.dtype), 0).astype(x.dtype)
+
+
 class _BlockCell(nn.Module):
     """nn.scan cell wrapping one MambaBlock (carry = (hidden, residual)).
 
     Per-layer RoPE (mamba_models.py:614-620) is applied to the hidden stream
-    (and optionally the residual) before the block when enabled.
+    (and optionally the residual) before the block when enabled. The scan
+    xs is the per-layer stochastic-depth rate (None when disabled); dropping
+    `hidden` before the block equals the reference Block's
+    `fused_add_norm_fn(self.drop_path(hidden_states), ..., residual)`
+    (mamba_models.py:88-97) since MambaBlock starts with that same add+norm.
     """
 
     block_kwargs: dict
@@ -455,7 +516,7 @@ class _BlockCell(nn.Module):
     n_prefix: int = 1
 
     @nn.compact
-    def __call__(self, carry, _):
+    def __call__(self, carry, dp_rate):
         hidden, residual = carry
         if self.rope_bufs is not None:
             from aum_tpu.models.rope import apply_rope
@@ -467,22 +528,37 @@ class _BlockCell(nn.Module):
                 residual = apply_rope(residual, cos.astype(residual.dtype),
                                       sin.astype(residual.dtype),
                                       self.n_prefix)
+        if dp_rate is not None:
+            hidden = _drop_path(self.make_rng("dropout"), hidden, dp_rate)
         hidden, residual = MambaBlock(
             **self.block_kwargs, name="block")(hidden, residual)
         return (hidden, residual), None
 
 
 class _BlockPair(nn.Module):
-    """One forward-layer + one reversed-layer pair for if_bidirectional."""
+    """One forward-layer + one reversed-layer pair for if_bidirectional.
+
+    The scan xs is the (2,) per-layer stochastic-depth rate pair — each
+    paired layer drops its own incoming hidden (mamba_models.py:631-636,
+    rates inter_dpr[2i]/inter_dpr[2i+1]); the per-sample mask broadcasts
+    over length, so dropping before the flip equals dropping after it.
+    """
 
     block_kwargs: dict
 
     @nn.compact
-    def __call__(self, carry, _):
+    def __call__(self, carry, dp_rates):
         hidden, residual = carry
-        h_f, r_f = MambaBlock(**self.block_kwargs, name="fwd")(hidden, residual)
+        h_in_f, h_in_b = hidden, hidden[:, ::-1]
+        if dp_rates is not None:
+            h_in_f = _drop_path(self.make_rng("dropout"), h_in_f,
+                                dp_rates[0])
+            h_in_b = _drop_path(self.make_rng("dropout"), h_in_b,
+                                dp_rates[1])
+        h_f, r_f = MambaBlock(**self.block_kwargs, name="fwd")(
+            h_in_f, residual)
         h_b, r_b = MambaBlock(**self.block_kwargs, name="bwd")(
-            hidden[:, ::-1], residual[:, ::-1])
+            h_in_b, residual[:, ::-1])
         hidden = h_f + h_b[:, ::-1]
         residual = r_f + r_b[:, ::-1]
         return (hidden, residual), None

@@ -329,6 +329,7 @@ class MambaBlock(nn.Module):
     residual_in_fp32: bool = True
     bimamba_type: str = "v2"
     if_devide_out: bool = True
+    init_layer_scale: Optional[float] = None
     d_state: int = 16
     n_layer: int = 24
     dtype: jnp.dtype = jnp.float32
@@ -352,6 +353,7 @@ class MambaBlock(nn.Module):
         hidden = MambaMixer(
             d_model=self.d_model, d_state=self.d_state,
             bimamba_type=self.bimamba_type, if_devide_out=self.if_devide_out,
+            init_layer_scale=self.init_layer_scale,
             n_layer=self.n_layer, dtype=self.dtype,
             use_kernel=self.use_kernel, model_axis=self.model_axis,
             seq_axis=self.seq_axis,

@@ -104,7 +104,12 @@ def apply_overrides(cfg, overrides):
         k = k.replace("-", "_")
         assert k in fields, f"unknown recipe field {k}"
         cur = getattr(cfg, k)
-        if isinstance(cur, bool):
+        if "Tuple" in str(fields[k]):
+            # e.g. --set flexible_patch_sizes=8,10,12 (the reference's
+            # flexible_p_start/end/step range, run.py:127-137, as an
+            # explicit list).
+            kv[k] = tuple(int(s) for s in v.split(","))
+        elif isinstance(cur, bool):
             kv[k] = v in ("1", "true", "True")
         elif cur is None:
             for cast in (int, float):
@@ -205,7 +210,24 @@ def build_model_and_params(cfg, rng, example_x, seq_axis=None,
             depth=cfg.depth if cfg.depth is not None else 12,
             dtype=cfg.dtype)
         model = ASTModel(acfg)
-        return model, model.init(rng, example_x)
+        params = model.init(rng, example_x)
+        if getattr(cfg, "ast_pretrain_path", None):
+            # AST audio-pretrain init (reference --ast_pretrain,
+            # ast_models.py:114-181): pos embed retargeted from the
+            # pretrain geometry; head kept only when label dims match.
+            from aum_tpu.convert.ast_port import port_ast_pretrain_state_dict
+
+            pre_grid = dataclasses.replace(
+                acfg, fstride=cfg.ast_pretrain_fstride,
+                tstride=cfg.ast_pretrain_tstride,
+                input_fdim=cfg.ast_pretrain_input_fdim,
+                input_tdim=cfg.ast_pretrain_input_tdim).patch_grid
+            sd = load_torch_checkpoint(cfg.ast_pretrain_path)
+            params = merge_with_init(
+                port_ast_pretrain_state_dict(sd, acfg,
+                                             pretrain_grid=pre_grid),
+                params)
+        return model, params
 
     mcfg = cfg.model_config()
     model = AudioMamba(mcfg, seq_axis=seq_axis, pipe_axis=pipe_axis,
@@ -213,12 +235,16 @@ def build_model_and_params(cfg, rng, example_x, seq_axis=None,
     # init single-device (no seq/pipe sharding needed to build shapes)
     params = AudioMamba(mcfg).init(rng, example_x)
     if cfg.imagenet_pretrain_path:
-        sd = load_torch_checkpoint(cfg.imagenet_pretrain_path, "model")
+        sd = load_torch_checkpoint(cfg.imagenet_pretrain_path,
+                                   cfg.imagenet_pretrain_modelkey)
         params = merge_with_init(
             port_vim_imagenet_state_dict(sd, mcfg), params)
     elif cfg.aum_pretrain_path:
         sd = load_torch_checkpoint(cfg.aum_pretrain_path)
-        params = merge_with_init(port_aum_state_dict(sd, mcfg), params)
+        params = merge_with_init(
+            port_aum_state_dict(
+                sd, mcfg, pretrain_fstride=cfg.aum_pretrain_fstride,
+                pretrain_tstride=cfg.aum_pretrain_tstride), params)
     return model, params
 
 

@@ -127,16 +127,22 @@ def make_train_step(
             x = spec_augment(k_aug, x, augment.freqm, augment.timem)
         if augment.noise:
             x = noise_and_roll(k_noise, x)
+        # Dropout/stochastic-depth rng (AudioMamba drop_path_rate/drop_rate;
+        # rate-0 models never consume it). fold_in rather than widening the
+        # split above so the existing k_aug/k_noise streams stay identical.
+        k_drop = jax.random.fold_in(rng, 0x0D09)
 
-        def loss_f(p, xb, yb):
-            logits = model.apply(p, xb, **model_kwargs)
+        def loss_f(p, xb, yb, kd):
+            logits = model.apply(p, xb, train=True, rngs={"dropout": kd},
+                                 **model_kwargs)
             loss = loss_of(logits, yb)
             if nan2num:
                 loss = jnp.nan_to_num(loss)
             return loss
 
         if accum_steps <= 1:
-            loss, grads = jax.value_and_grad(loss_f)(state.params, x, y)
+            loss, grads = jax.value_and_grad(loss_f)(
+                state.params, x, y, k_drop)
         else:
             if x.shape[0] % accum_steps:
                 raise ValueError(
@@ -147,18 +153,20 @@ def make_train_step(
             ym = y.reshape(accum_steps, y.shape[0] // accum_steps,
                            *y.shape[1:])
 
-            def body(carry, xy):
+            def body(carry, xyi):
                 l_sum, g_sum = carry
-                xb, yb = xy
+                xb, yb, i = xyi
                 if data_sharding is not None:
                     xb = jax.lax.with_sharding_constraint(xb, data_sharding)
                     yb = jax.lax.with_sharding_constraint(yb, data_sharding)
-                l, g = jax.value_and_grad(loss_f)(state.params, xb, yb)
+                l, g = jax.value_and_grad(loss_f)(
+                    state.params, xb, yb, jax.random.fold_in(k_drop, i))
                 return (l_sum + l, jax.tree.map(jnp.add, g_sum, g)), None
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
             (l_sum, g_sum), _ = jax.lax.scan(
-                body, (jnp.zeros((), jnp.float32), zeros), (xm, ym))
+                body, (jnp.zeros((), jnp.float32), zeros),
+                (xm, ym, jnp.arange(accum_steps)))
             loss = l_sum / accum_steps
             grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
         finite = jnp.isfinite(loss)
