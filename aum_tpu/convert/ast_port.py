@@ -21,11 +21,20 @@ import numpy as np
 from aum_tpu.models.ast import ASTConfig, retarget_pos_embed
 
 
-def port_deit_state_dict(sd: Dict, cfg: ASTConfig) -> Dict:
+def port_deit_state_dict(sd: Dict, cfg: ASTConfig,
+                         source_grid: tuple | None = None) -> Dict:
     """timm DeiT {key: np.ndarray} -> {"params": ...} for ASTModel(cfg).
 
     The head (head_norm/head) is left to the fresh init (merge with an init
     tree via aum_tpu.convert.torch_port.merge_with_init).
+
+    `source_grid` is the (f, t) grid the checkpoint's pos embed is laid out
+    on; None means a square ImageNet-DeiT grid inferred from the token
+    count. Callers that already know (or produced) a non-square layout —
+    port_ast_pretrain_state_dict retargets to cfg.patch_grid before calling
+    here — must pass it explicitly: a token-count coincidence (e.g. a 24x24
+    DeiT checkpoint into a (12,48) audio grid, both 576 tokens) cannot be
+    disambiguated from the array alone.
     """
     d = cfg.embed_dim
     h = cfg.num_heads
@@ -40,20 +49,21 @@ def port_deit_state_dict(sd: Dict, cfg: ASTConfig) -> Dict:
     n_prefix = cfg.num_prefix
     n_tok = pos.shape[1] - n_prefix
     tgt = tuple(cfg.patch_grid)
-    if n_tok != tgt[0] * tgt[1]:
-        # Square ImageNet-DeiT grid -> audio grid (ast_models.py:89-105).
-        # A pos embed whose token count already matches the target grid is
-        # taken as-is — e.g. one pre-retargeted from a (non-square) audio
-        # pretrain grid by port_ast_pretrain_state_dict, which the old
-        # square-grid inference here mangled (found by
-        # tests/test_drop_path.py::test_ast_pretrain_path_threading).
+    if source_grid is None:
+        # Square ImageNet-DeiT grid (ast_models.py:89-105). Explicit
+        # source_grid exists because inference from the token count alone
+        # is ambiguous: an already-audio-shaped pos embed (e.g. 2x6 = 12
+        # tokens) round(sqrt)s to a wrong square and gets mangled (found
+        # by tests/test_drop_path.py::test_ast_pretrain_path_threading).
         side = int(round(n_tok ** 0.5))
         if side * side != n_tok:
             raise ValueError(
-                f"pos_embed has {n_tok} tokens: neither square nor the "
-                f"target grid {tgt}; pass an explicit pretrain grid via "
-                "port_ast_pretrain_state_dict")
-        pos = retarget_pos_embed(pos, (side, side), tgt, n_prefix)
+                f"pos_embed has {n_tok} tokens — not a square grid; pass "
+                "source_grid=(f, t) (or go through "
+                "port_ast_pretrain_state_dict's pretrain_grid)")
+        source_grid = (side, side)
+    if tuple(source_grid) != tgt:
+        pos = retarget_pos_embed(pos, tuple(source_grid), tgt, n_prefix)
 
     params = {
         "patch_proj_weight": kernel,
@@ -185,7 +195,8 @@ def port_ast_pretrain_state_dict(
             pos.astype(np.float32), tuple(pretrain_grid), cfg.patch_grid,
             n_prefix)
 
-    ported = port_deit_state_dict(deit, cfg)
+    # pos embed was already retargeted to cfg.patch_grid above.
+    ported = port_deit_state_dict(deit, cfg, source_grid=cfg.patch_grid)
     if ("mlp_head.1.weight" in sd
             and sd["mlp_head.1.weight"].shape[0] == cfg.label_dim):
         ported["params"]["head_norm"] = {

@@ -300,18 +300,21 @@ class MambaMixer(nn.Module):
                 y = y / 2
 
         out = y.astype(self.dtype) @ out_proj.astype(self.dtype)
-        if self.init_layer_scale is not None:
-            gamma = self.param(
-                "gamma",
-                nn.initializers.constant(self.init_layer_scale),
-                (self.d_model,))
-            out = out * gamma.astype(self.dtype)
         if self.model_axis is not None:
             # TP: out_proj contracts the sharded d_inner -- reduce partials.
             out = jax.lax.psum(out, self.model_axis)
         if self.proj_bias:
             out = out + self.param("out_proj_bias", nn.initializers.zeros,
                                    (self.d_model,)).astype(self.dtype)
+        if self.init_layer_scale is not None:
+            # gamma scales the FULL out_proj output incl. its bias
+            # (mamba_simple.py:308-310: out = self.out_proj(y) then
+            # out * self.gamma) -- so it must come after the bias add.
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.init_layer_scale),
+                (self.d_model,))
+            out = out * gamma.astype(self.dtype)
         return out
 
 

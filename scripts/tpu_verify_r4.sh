@@ -8,6 +8,13 @@
 # train_spc_synth final acc 0.375 / AUC 0.72 (14 epochs), ssd_probe:
 # factored SSD 9.69-12.78 ms vs 0.345 ms one-direction kernel; TPU-platform
 # serving bundle export + load + pad-or-chunk predict green ((3,35) finite).
+#
+# Round-5 rerun (2026-08-20, after the drop_path/train-rng threading landed,
+# /tmp/tpu_verify_r5.log): all 6 legs green — smoke fwd 3.04 ms B=4, entry
+# (8, 527) bfloat16, bench 417.4 clips/s (vs_baseline 0.642), train step
+# B=12 148.6 ms (80.7 clips/s), train_spc_synth final acc 0.375 (identical
+# trajectory — the fold_in-derived dropout rng leaves the k_aug/k_noise
+# streams untouched), serving predict (3, 35) finite.
 set -u
 cd "$(dirname "$0")/.."
 

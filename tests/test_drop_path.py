@@ -155,10 +155,13 @@ def test_train_step_with_drop_path():
              "y": np.zeros((4, 7), np.float32)}
     state, loss = step(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
-    # Two different step rngs give different losses (stochastic depth on).
+    # Same state + same rng reproduces; same state + different rng gives a
+    # different loss (the train step's stochastic-depth path is live).
     _, loss2 = step(state, batch, jax.random.PRNGKey(4))
     _, loss2b = step(state, batch, jax.random.PRNGKey(4))
+    _, loss3 = step(state, batch, jax.random.PRNGKey(5))
     assert float(loss2) == float(loss2b)
+    assert float(loss2) != float(loss3)
 
 
 def test_config_threading_and_cli_set():
@@ -244,3 +247,50 @@ def test_ast_pretrain_path_threading(tmp_path):
     assert params["params"]["pos_embed"].shape[1] == 2 * 6 + 1
     y = model.apply(params, np.zeros((2, 96, 32), np.float32))
     assert y.shape == (2, 5)
+
+
+def test_layer_scale_scales_out_proj_bias_too():
+    """gamma multiplies the FULL out_proj output including its bias
+    (mamba_simple.py:308-310: out = self.out_proj(y); out = out * gamma),
+    i.e. out == gamma * (y @ W + b) — not (y @ W) * gamma + b."""
+    from aum_tpu.models.mamba import MambaMixer
+
+    kw = dict(d_model=32, d_state=4, bimamba_type="none", proj_bias=True,
+              use_kernel=False, n_layer=2)
+    scaled = MambaMixer(init_layer_scale=0.5, **kw)
+    plain = MambaMixer(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 32))
+    p = scaled.init(jax.random.PRNGKey(1), x)
+    # Nonzero bias so the orderings actually differ.
+    p = jax.tree_util.tree_map_with_path(
+        lambda path, v: (jnp.ones_like(v)
+                         if "out_proj_bias" in str(path) else v), p)
+    p0 = {"params": {k: v for k, v in p["params"].items() if k != "gamma"}}
+    y_scaled = scaled.apply(p, x)
+    y_plain = plain.apply(p0, x)
+    np.testing.assert_allclose(np.asarray(y_scaled),
+                               0.5 * np.asarray(y_plain), rtol=1e-6)
+
+
+def test_port_deit_rejects_ambiguous_nonsquare():
+    """port_deit_state_dict must not guess a grid for a non-square pos
+    embed (token-count coincidences are unrecoverable); explicit
+    source_grid ports it exactly."""
+    from aum_tpu.convert.ast_port import port_deit_state_dict
+    from aum_tpu.models.ast import ASTConfig, ASTModel
+    from aum_tpu.convert.ast_port import export_ast_state_dict
+
+    cfg = ASTConfig(label_dim=3, fstride=16, tstride=16, input_fdim=32,
+                    input_tdim=96, embed_dim=384, num_heads=6, depth=1)
+    params = ASTModel(cfg).init(jax.random.PRNGKey(0),
+                                np.zeros((1, 96, 32), np.float32))
+    sd = export_ast_state_dict(params, cfg)
+    deit = {k[len("v."):]: np.asarray(v) for k, v in sd.items()
+            if k.startswith("v.")}
+    # (2, 6) grid = 12 tokens: not square -> must raise without source_grid.
+    with pytest.raises(ValueError, match="not a square grid"):
+        port_deit_state_dict(deit, cfg)
+    ported = port_deit_state_dict(deit, cfg, source_grid=(2, 6))
+    np.testing.assert_array_equal(
+        np.asarray(ported["params"]["pos_embed"]),
+        np.asarray(params["params"]["pos_embed"]))
