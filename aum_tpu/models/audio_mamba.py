@@ -293,6 +293,12 @@ class AudioMamba(nn.Module):
             # the (head+tail)/2 readout is symmetric. Shuffled double-cls
             # positions ARE retargeted below (i -> N-1-i), which the
             # reference-with-shuffle+flip combination would require too.
+            # Known divergence when combined with if_rope (both ctor-only
+            # knobs, neither reachable from the reference CLI): the
+            # reference un-flips around each per-layer rope application
+            # (mamba_models.py:603-618) so rope always sees the canonical
+            # orientation; here rope is applied to the flipped order —
+            # self-consistent, but not bit-matching that ctor combination.
             rng, kflip = jax.random.split(rng)
             do_flip = jax.random.uniform(kflip, ()) < flip_sequence_prob
             x = jnp.where(do_flip, x[:, ::-1], x)

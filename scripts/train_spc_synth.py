@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", default="2e-3",
                     help="2e-3 suits tiny/depth-4; base/depth-24 wants ~5e-4")
+    ap.add_argument("--extra-set", action="append", default=[],
+                    help="additional --set recipe overrides, e.g. "
+                         "aum_drop_path=0.2 (stochastic-depth e2e drill)")
     args = ap.parse_args()
 
     from aum_tpu.run import main as run_main
@@ -95,7 +98,7 @@ def main():
         "--set", f"lr={args.lr}",
         "--set", "noise=False",
         "--set", "mixup=0.0",
-    ])
+    ] + [a for s in args.extra_set for a in ("--set", s)])
     final_acc = history[-1]["acc"]
     print(f"final val acc: {final_acc:.3f} "
           f"(chance = 0.125); artifacts in {exp_dir}")
