@@ -383,7 +383,7 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
             _, scores = average_ensemble_views(scores, rec)
             _, targets = average_ensemble_views(targets, rec)
             from aum_tpu.train import calculate_stats, d_prime as _dp
-            stats = calculate_stats(scores, targets)
+            stats = calculate_stats(scores, targets, full_curves=True)
             auc = float(_np.nanmean([st["auc"] for st in stats]))
             metrics = {
                 "mAP": float(_np.nanmean([st["AP"] for st in stats])),
@@ -394,21 +394,20 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
             metrics["main"] = metrics[
                 "acc" if cfg.metrics == "acc" else "mAP"]
         else:
-            metrics, scores, targets = evaluate(
+            metrics, scores, targets, stats = evaluate(
                 eval_step, params, globalize_batches(pipe.batches(), mesh),
-                cfg.loss, cfg.metrics, nan2num=cfg.nan2num)
+                cfg.loss, cfg.metrics, nan2num=cfg.nan2num,
+                return_stats=True, full_curves=True)
         if jax.process_index() == 0:
             print(json.dumps({k: v for k, v in metrics.items()},
                              default=float))
             np.savetxt(os.path.join(args.exp_dir, "predictions_eval.csv"),
                        scores, delimiter=",")
             # Reference eval artifacts (run.py:297-328): per-class stats
-            # pickled whole, plus result_eval.csv = [main, mAUC,
-            # avg middle-of-PR precision, avg recall, d', loss] and the
-            # printed Avg Precision/Recall lines.
-            from aum_tpu.train import calculate_stats
-
-            stats = calculate_stats(scores, targets, full_curves=True)
+            # pickled whole (reusing the single full-curves pass from
+            # evaluate / the EPIC branch above), plus result_eval.csv =
+            # [main, mAUC, avg middle-of-PR precision, avg recall, d',
+            # loss] and the printed Avg Precision/Recall lines.
             mid_p = float(np.mean([
                 st["precisions"][len(st["precisions"]) // 2]
                 for st in stats]))
@@ -429,6 +428,7 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
     assert train_pipe is not None and val_pipe is not None
     state = init_train_state(model, tx, jax.random.PRNGKey(cfg.seed + 1),
                              example, mesh=mesh)
+    start_epoch = 1
     if args.ckpt:  # resume from the newest epoch checkpoint (or best)
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -438,6 +438,9 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
         epochs = rckptr.available_epochs()
         name = f"epoch_{epochs[-1]}" if epochs else "best"
         state = rckptr.restore(name, state)
+        # Continue the epoch numbering where the checkpoint left off so
+        # artifacts/checkpoints/shuffle orders don't relabel from 1.
+        start_epoch = (epochs[-1] + 1) if epochs else 1
         # Restored leaves may land on a single device; re-place the whole
         # state on the mesh (params in the TP layout, the rest replicated).
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
@@ -461,7 +464,8 @@ def _main_impl(args, cfg, mesh, seq_axis, train_pipe, val_pipe, eval_pipe):
         accum_steps=cfg.accum_steps,
         profile_dir=args.profile_dir if is_main else None,
         flexible_patch_sizes=(list(cfg.flexible_patch_sizes)
-                              if cfg.flexible_patch_sizes else None))
+                              if cfg.flexible_patch_sizes else None),
+        start_epoch=start_epoch)
     print(f"best epoch {best['epoch']}: {cfg.metrics}={best['main']:.4f}")
 
     # SpeechCommands post-train eval on valid+test (run.py:334-375).

@@ -71,6 +71,13 @@ def loss_fn_of(loss_type: str) -> Callable:
             return jnp.mean(optax.sigmoid_binary_cross_entropy(
                 logits.astype(jnp.float32), labels))
     elif loss_type == "CE":
+        # Soft-label CE. Deliberate divergence from the reference's
+        # `loss_fn(out, torch.argmax(labels.long(), 1))` (traintest.py:151):
+        # `.long()` truncates every non-integer label to 0, so CE + mixup
+        # upstream silently targets class 0 for all mixed samples — a
+        # latent bug there. On one-hot labels (all shipped CE recipes have
+        # mixup=0) the two are identical; under mixup this form is the
+        # correct soft-target CE.
         def f(logits, labels):
             return jnp.mean(optax.softmax_cross_entropy(
                 logits.astype(jnp.float32), labels))
@@ -179,6 +186,16 @@ def make_train_step(
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old),
             new_opt, state.opt_state)
+        if (isinstance(opt_state, tuple) and opt_state
+                and isinstance(opt_state[-1], optax.ScaleByScheduleState)):
+            # The lr schedule mirrors the reference's wall-epoch scheduler,
+            # which steps once per epoch REGARDLESS of skipped batches
+            # (scheduler.step(), traintest.py:247) — so its count must keep
+            # advancing through non-finite steps, or every decay milestone
+            # drifts late by the number of skipped steps. The Adam
+            # count/moments above DO revert (torch Adam never .step()s on a
+            # skipped batch, traintest.py:160-162).
+            opt_state = opt_state[:-1] + (new_opt[-1],)
         loss32 = loss.astype(jnp.float32)
         return TrainState(
             step=state.step + 1, params=params, opt_state=opt_state,
@@ -226,6 +243,8 @@ def evaluate(
     loss_type: str = "BCE",
     main_metric: str = "mAP",
     nan2num: bool = False,
+    return_stats: bool = False,
+    full_curves: bool = False,
 ):
     """Run eval, mirroring validate_acc (traintest.py:250-321).
 
@@ -233,7 +252,11 @@ def evaluate(
     the val loss on the *sigmoided* outputs as well, :280-283; reproduced).
     With ``nan2num``, non-finite eval outputs are coerced to 0/±max before
     the sigmoid, exactly like the reference's `if_nan2num` branch
-    (traintest.py:275-276). Returns (metrics dict, scores, targets).
+    (traintest.py:275-276). Returns (metrics dict, scores, targets), plus
+    the per-class stats list when ``return_stats`` (``full_curves`` adds
+    PR/ROC curves) — callers that pickle the stats reuse this single
+    calculate_stats pass instead of recomputing (527-class AP/AUC on a
+    1-core host is expensive; it used to run twice per epoch).
     """
     from aum_tpu.data.pipeline import Prefetcher
     from aum_tpu.parallel.multihost import to_host_global
@@ -255,7 +278,7 @@ def evaluate(
         losses.append(_np_loss(loss_type, scores, tgts[-1]))
     scores = np.concatenate(outs, axis=0)
     targets = np.concatenate(tgts, axis=0)
-    stats = calculate_stats(scores, targets)
+    stats = calculate_stats(scores, targets, full_curves=full_curves)
     ap = np.array([s["AP"] for s in stats], dtype=np.float64)
     auc = np.array([s["auc"] for s in stats], dtype=np.float64)
     m_ap = float(np.nanmean(ap))
@@ -269,6 +292,8 @@ def evaluate(
         "main": None,
     }
     metrics["main"] = metrics["acc" if main_metric == "acc" else "mAP"]
+    if return_stats:
+        return metrics, scores, targets, stats
     return metrics, scores, targets
 
 
@@ -312,6 +337,7 @@ def train_loop(
     accum_steps: int = 1,
     profile_dir: Optional[str] = None,
     profile_steps: tuple = (3, 8),
+    start_epoch: int = 1,
 ):
     """Epoch loop: train, validate, track best, checkpoint (traintest.py:85-247).
 
@@ -354,7 +380,12 @@ def train_loop(
     progress = []
     best = {"epoch": 0, "main": -np.inf}
     prof_open = False
-    for epoch in range(1, n_epochs + 1):
+    # start_epoch > 1 = resuming a partial run (run.py --ckpt restore):
+    # epoch labels/artifacts/shuffle orders continue where the restored
+    # checkpoint left off instead of relabeling from 1 and overwriting
+    # epoch_N checkpoints (round-5 review finding). The reference has no
+    # epoch-resume at all (it restarts at 1; traintest.py:79-85).
+    for epoch in range(start_epoch, n_epochs + 1):
         state = reset_loss_accum(state)
         t_epoch = _time.time()
         n_clips = 0
@@ -406,9 +437,9 @@ def train_loop(
         n_finite = n_steps - n_bad
         epoch_loss = (float(state.loss_sum) / n_finite if n_finite
                       else float("nan"))
-        metrics, scores, targets = evaluate(
+        metrics, scores, targets, epoch_stats = evaluate(
             eval_fn, state.params, eval_batches(), loss_type, main_metric,
-            nan2num=nan2num)
+            nan2num=nan2num, return_stats=True, full_curves=True)
         metrics["epoch"] = epoch
         # Exact epoch mean over finite steps (traintest.py:171-178 semantics).
         metrics["train_loss"] = epoch_loss if n_steps else None
@@ -435,9 +466,9 @@ def train_loop(
                                     f"stats_{epoch}.pickle"), "wb") as f:
                 # Reference pickles the PER-CLASS stats list each epoch
                 # (traintest.py:241-242), curves included; the summary
-                # metrics live in result.csv/progress.json.
-                pickle.dump(calculate_stats(scores, targets,
-                                            full_curves=True), f)
+                # metrics live in result.csv/progress.json. Reuses the
+                # single full-curves pass from evaluate() above.
+                pickle.dump(epoch_stats, f)
             if save_predictions:
                 pdir = _os.path.join(exp_dir, "predictions")
                 _os.makedirs(pdir, exist_ok=True)

@@ -56,17 +56,35 @@ def _epic_factor(epoch):
 
 
 def lr_at_step(hp: TrainHyperParams, step, steps_per_epoch: int):
-    """Learning rate at 0-based global step (jittable)."""
+    """Learning rate at 0-based global step (jittable).
+
+    Reproduces the reference's *last write wins* interaction between the
+    per-step warmup writes and the per-epoch scheduler writes — the
+    reference mutates optimizer.param_groups from both places, so the lr at
+    any step is whichever wrote most recently:
+
+    - epic + warmup (traintest.py:107-117): every post-warmup step writes
+      ``lr = args.lr`` unconditionally, so the LambdaLR 0.05/0.01 decay
+      NEVER takes effect — the shipped EPIC recipe trains all 30 epochs at
+      the full lr. (The decay only applies with warmup=False.) An earlier
+      revision here applied the decay on top of warmup; that was a real
+      divergence on the shipped recipe, found in a round-5 review.
+    - non-epic warmup (traintest.py:120-124): warm writes land at steps
+      {0, q, 2q, ..., w} (q = 50//s, w = 1000//s) and hold between writes;
+      scheduler.step() writes at each epoch boundary. For the shipped
+      recipes (steps_per_epoch > w, or warmup off) this equals the simple
+      "staircase through w, schedule after" reading; they differ only when
+      warmup spans epochs.
+    """
     step = jnp.asarray(step)
     epoch = step // steps_per_epoch + 1  # 1-based epoch
     if hp.epic:
         warm_steps = hp.epic_warmup_epochs * steps_per_epoch
         warm_lr = hp.lr * 0.01 + step.astype(jnp.float32) * (
             hp.lr - hp.lr * 0.01) / warm_steps
-        sched_lr = hp.lr * _epic_factor(epoch)
-        if not hp.warmup:
-            return sched_lr
-        return jnp.where(step < warm_steps, warm_lr, sched_lr)
+        if hp.warmup:
+            return jnp.where(step < warm_steps, warm_lr, hp.lr)
+        return hp.lr * _epic_factor(epoch)
 
     sched_lr = hp.lr * _multistep_factor(
         epoch, hp.lrscheduler_start, hp.lrscheduler_step, hp.lrscheduler_decay)
@@ -74,8 +92,12 @@ def lr_at_step(hp: TrainHyperParams, step, steps_per_epoch: int):
         return sched_lr
     w = 1000 // hp.bs_scale_factor
     q = max(1, 50 // hp.bs_scale_factor)
-    warm_lr = ((step - step % q).astype(jnp.float32) / w) * hp.lr
-    return jnp.where(step <= w, warm_lr, sched_lr)
+    last_warm = jnp.minimum(step - step % q, w)   # most recent warm write
+    epoch_start = (step // steps_per_epoch) * steps_per_epoch
+    warm_lr = (last_warm.astype(jnp.float32) / w) * hp.lr
+    # Warm value holds until the next scheduler write (epoch boundary);
+    # the scheduler value holds until the next warm write.
+    return jnp.where(last_warm >= epoch_start, warm_lr, sched_lr)
 
 
 def make_optimizer(

@@ -164,10 +164,16 @@ def test_run_train_resume(spc_like_data, tmp_path):
     d1 = str(tmp_path / "run1")
     main(common + ["--exp-dir", d1])
     d2 = str(tmp_path / "run2")
-    history = main(common + ["--exp-dir", d2,
+    # Resume continues the epoch numbering: run1 finished epoch 1, so a
+    # 2-epoch target trains exactly epoch 2 (labels/artifacts continue
+    # instead of relabeling from 1 — round-5 review finding).
+    history = main(common + ["--exp-dir", d2, "--set", "n_epochs=2",
                              "--ckpt", os.path.join(d1, "models")])
     assert len(history) == 1
+    assert history[0]["epoch"] == 2
     assert os.path.exists(os.path.join(d2, "models", "latest.json"))
+    assert os.path.exists(os.path.join(d2, "stats_2.pickle"))
+    assert not os.path.exists(os.path.join(d2, "stats_1.pickle"))
 
 
 def test_run_ast_model(spc_like_data, tmp_path):

@@ -47,9 +47,41 @@ def test_lr_schedule_epic():
     assert np.isclose(float(lr_at_step(hp, w - 1, spe)),
                       1e-3 * 0.01 + (w - 1) * (1e-3 - 1e-5) / w)
     assert np.isclose(float(lr_at_step(hp, w, spe)), 1e-3)
-    # epoch 11 -> 0.05x, epoch 21 -> 0.01x
-    assert np.isclose(float(lr_at_step(hp, 10 * spe, spe)), 1e-3 * 0.05)
-    assert np.isclose(float(lr_at_step(hp, 20 * spe, spe)), 1e-3 * 0.01)
+    # With warmup=True the reference writes lr = args.lr on EVERY
+    # post-warmup step (traintest.py:113-115), clobbering the LambdaLR
+    # decay at each step — the shipped EPIC recipe never decays. An
+    # earlier revision here applied the 0.05/0.01 decay on top; that was
+    # a live divergence on the shipped recipe (round-5 review finding).
+    assert np.isclose(float(lr_at_step(hp, 10 * spe, spe)), 1e-3)
+    assert np.isclose(float(lr_at_step(hp, 20 * spe, spe)), 1e-3)
+    # The LambdaLR decay applies when warmup is off (no per-step writes).
+    hp0 = TrainHyperParams(lr=1e-3, epic=True, warmup=False)
+    assert np.isclose(float(lr_at_step(hp0, 5 * spe, spe)), 1e-3)
+    assert np.isclose(float(lr_at_step(hp0, 10 * spe, spe)), 1e-3 * 0.05)
+    assert np.isclose(float(lr_at_step(hp0, 20 * spe, spe)), 1e-3 * 0.01)
+
+
+def test_lr_schedule_warmup_spanning_epochs():
+    """Last-write-wins interleave when warmup spans epoch boundaries
+    (traintest.py:120-124 warm writes at steps {0, q, .., w} vs
+    scheduler.step() writes at each epoch boundary). Not reachable from
+    the shipped recipes (spe > 1000 there) but pinned for off-recipe
+    configs."""
+    hp = TrainHyperParams(lr=1e-4, lrscheduler_start=2, lrscheduler_step=1,
+                          lrscheduler_decay=0.5, warmup=True)
+    spe = 130  # q=50, w=1000: warmup spans ~8 epochs
+    # Step 260 = epoch-3 start, not a multiple of 50: the scheduler wrote
+    # most recently (epoch 3 -> one milestone passed -> 0.5x).
+    assert np.isclose(float(lr_at_step(hp, 260, spe)), 0.5e-4)
+    # Step 300 (multiple of 50, >= epoch start 260): warm write wins.
+    assert np.isclose(float(lr_at_step(hp, 300, spe)), 300 / 1000 * 1e-4)
+    assert np.isclose(float(lr_at_step(hp, 349, spe)), 300 / 1000 * 1e-4)
+    # After w=1000 (inside epoch 8, start 910): the step-1000 warm write
+    # (full lr) holds until that epoch's end...
+    assert np.isclose(float(lr_at_step(hp, 1030, spe)), 1e-4)
+    # ...and from the next epoch boundary the schedule rules again
+    # (epoch 9 -> milestones 2..8 -> 0.5^7).
+    assert np.isclose(float(lr_at_step(hp, 1040, spe)), 1e-4 * 0.5 ** 7)
 
 
 def test_adam_matches_torch_semantics():
@@ -338,3 +370,75 @@ def test_evaluate_nan2num_coerces_eval_outputs():
     # torch.nan_to_num semantics: nan->0 (sigmoid 0.5), inf->finite max.
     np.testing.assert_allclose(scores[0, 1], 0.5)
     assert scores[1, 0] == 1.0
+
+
+def test_schedule_count_advances_on_skipped_nonfinite_steps():
+    """The reference's epoch scheduler steps once per wall epoch regardless
+    of skipped batches (scheduler.step(), traintest.py:247), while torch
+    Adam's state only advances on applied updates (:160-162). The skip
+    path must therefore keep the lr-schedule count advancing while the
+    Adam count/moments revert (round-5 review finding: every decay
+    milestone drifted late by the number of skipped steps)."""
+    cfg = AudioMambaConfig(
+        depth=1, embed_dim=96, spectrogram_size=(128, 32), num_classes=3,
+        d_state=8)
+    model = AudioMamba(cfg, use_kernel=False)
+    hp = TrainHyperParams(lr=1e-3, warmup=False, lrscheduler_start=100)
+    tx = make_optimizer(hp, steps_per_epoch=2)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 32, 128)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[[0, 1]]
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(x[:1]))
+    step = make_train_step(model, tx, None, loss_type="CE",
+                           augment=AugmentConfig(), donate=False)
+    # opt_state = (add_decayed EmptyState, ScaleByAdamState,
+    #              ScaleByScheduleState) — the chain in make_optimizer.
+    assert isinstance(state.opt_state[-1], optax.ScaleByScheduleState)
+
+    bad = {"x": np.full_like(x, np.inf), "y": y}
+    st, loss = step(state, bad, jax.random.PRNGKey(1))
+    assert not np.isfinite(float(loss))
+    assert int(st.nonfinite_count) == 1
+    assert int(st.opt_state[1].count) == 0      # Adam reverted
+    assert int(st.opt_state[-1].count) == 1     # schedule advanced
+    # Moments reverted too (all still zero).
+    assert all(float(jnp.abs(l).max()) == 0
+               for l in jax.tree.leaves(st.opt_state[1].mu))
+
+    st2, loss2 = step(st, {"x": x, "y": y}, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss2))
+    assert int(st2.opt_state[1].count) == 1
+    assert int(st2.opt_state[-1].count) == 2
+
+
+def test_train_loop_start_epoch(tmp_path):
+    """start_epoch continues labeling/artifacts from a resume point."""
+    from aum_tpu.train.loop import train_loop
+
+    cfg = AudioMambaConfig(
+        depth=1, embed_dim=96, spectrogram_size=(128, 32), num_classes=3,
+        d_state=8)
+    model = AudioMamba(cfg, use_kernel=False)
+    hp = TrainHyperParams(lr=1e-3, warmup=False, lrscheduler_start=100)
+    tx = make_optimizer(hp, steps_per_epoch=2)
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((4, 32, 128)).astype(np.float32)
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 4)]
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.asarray(xs[:1]))
+
+    def batches(epoch=0):
+        for i in range(0, 4, 2):
+            yield {"x": jnp.asarray(xs[i:i + 2]),
+                   "y": jnp.asarray(ys[i:i + 2])}
+
+    _, history, best = train_loop(
+        model, tx, None, batches, batches, n_epochs=3, state=state,
+        rng=jax.random.PRNGKey(1), loss_type="CE", main_metric="acc",
+        exp_dir=str(tmp_path), start_epoch=2)
+    assert [h["epoch"] for h in history] == [2, 3]
+    assert best["epoch"] in (2, 3)
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), "stats_2.pickle"))
+    assert not os.path.exists(os.path.join(str(tmp_path), "stats_1.pickle"))
