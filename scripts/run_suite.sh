@@ -30,7 +30,8 @@ export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
 
 CHUNKS=(
   "tests/test_ast_rope.py tests/test_aux.py tests/test_conv_kernel.py tests/test_data.py tests/test_epic.py tests/test_fbank.py tests/test_goldens.py tests/test_graft_entry.py"
-  "tests/test_drop_path.py tests/test_lm.py tests/test_model.py tests/test_multihost.py"
+  "tests/test_drop_path.py"
+  "tests/test_lm.py tests/test_model.py tests/test_multihost.py"
   "tests/test_runner.py"
   "tests/test_scan_partition.py tests/test_selective_scan.py tests/test_seq_parallel.py tests/test_serving.py"
   "tests/test_tp_layout.py tests/test_fetch_verify.py tests/test_pipeline.py"
