@@ -82,7 +82,12 @@ class ExperimentConfig:
     aum_pretrain_path: Optional[str] = None
     # Pretrain-time strides for the pos-embed grid inference when they
     # differ from this run's patch size (reference --aum_pretrain_fstride/
-    # tstride, run.py:75-76; None = patch size, the reference default 16).
+    # tstride, run.py:75-76). None falls back to the CHECKPOINT'S OWN patch
+    # size (mamba_models.py:409-414 semantics in port_aum_state_dict) — the
+    # reference CLI always passes its argparse default 16, which agrees only
+    # because released checkpoints use patch 16; for a non-16-patch pretrain
+    # checkpoint pass the stride explicitly to match a reference run
+    # (ADVICE r4).
     aum_pretrain_fstride: Optional[int] = None
     aum_pretrain_tstride: Optional[int] = None
     # AST pretrain init (reference --ast_pretrain/--ast_pretrain_path +

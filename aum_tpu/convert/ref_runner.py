@@ -341,3 +341,20 @@ def import_reference_models():
 
 def reference_state_dict_numpy(model) -> dict:
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def import_reference_lm():
+    """Import and return `mamba_ssm.models.mixer_seq_simple` — the upstream
+    MambaLMHeadModel (mixer_seq_simple.py:176-264) running on CPU torch with
+    the same oracle stubs as the audio models (the fused-op interfaces are
+    pre-inserted in sys.modules, so the CUDA/triton files never execute).
+    Used by scripts/verify_lm.py's --ref-parity leg (VERDICT r4 #8)."""
+    if not reference_available():
+        raise RuntimeError(f"reference not found at {REFERENCE_ROOT}")
+    install_reference_stubs()
+    for p in (REFERENCE_ROOT, os.path.join(REFERENCE_ROOT, "vim-mamba_ssm")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+
+    return importlib.import_module("mamba_ssm.models.mixer_seq_simple")

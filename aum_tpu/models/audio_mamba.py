@@ -375,24 +375,41 @@ class AudioMamba(nn.Module):
         # byte-identical to the no-drop-path graph.
         use_dp = train and cfg.drop_path_rate > 0
         dp_rates = None
+        dp_scales = None
         if use_dp:
-            if pipelined:
-                raise NotImplementedError(
-                    "stochastic depth (drop_path_rate > 0) is not supported "
-                    "under pipeline parallelism (rng plumbing through the "
-                    "shard_map pipeline); train without --n-pipe or with "
-                    "drop_path_rate=0")
             import numpy as _np
 
             dpr = _np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
             inter = _np.concatenate([[0.0], dpr[:-1]]).astype(_np.float32)
-            dp_rates = jnp.asarray(
-                inter if not cfg.if_bidirectional
-                else inter.reshape(cfg.depth // 2, 2))
+            if pipelined:
+                # Under the shard_map pipeline the cells cannot make_rng;
+                # instead draw ALL per-(layer, sample) keep decisions here
+                # (ordinary module scope) and ship the resulting scale array
+                # (mask/keep: 0 or 1/keep — _drop_path's where(mask, x/keep,
+                # 0) written as one multiply) through the pipeline carry so
+                # it microbatches with the activations
+                # (parallel/pipeline.py::block_stage_fn_dp, VERDICT r4 #5).
+                # Layer 0's rate is 0 -> keep=1 -> scale==1.0 exactly.
+                keep = 1.0 - jnp.asarray(inter)  # (depth,)
+                keys = jax.random.split(self.make_rng("dropout"), cfg.depth)
+                mask = jax.vmap(
+                    lambda k, p: jax.random.bernoulli(k, p, (x.shape[0],))
+                )(keys, keep)  # (depth, B)
+                scales = mask.astype(jnp.float32) / keep[:, None]
+                dp_scales = (
+                    scales.T if not cfg.if_bidirectional  # (B, depth)
+                    else jnp.transpose(
+                        scales.reshape(cfg.depth // 2, 2, x.shape[0]),
+                        (2, 0, 1)))  # (B, depth//2, 2)
+            else:
+                dp_rates = jnp.asarray(
+                    inter if not cfg.if_bidirectional
+                    else inter.reshape(cfg.depth // 2, 2))
         if not cfg.if_bidirectional:
             if pipelined:
                 from aum_tpu.parallel.pipeline import (
                     block_stage_fn,
+                    block_stage_fn_dp,
                     pipeline_apply,
                 )
 
@@ -400,11 +417,19 @@ class AudioMamba(nn.Module):
                     block_kwargs=block_kwargs, rope_bufs=rope_bufs,
                     rope_residual=cfg.if_rope_residual,
                     n_prefix=cfg.num_prefix_tokens)
-                hidden, residual = pipeline_apply(
-                    block_stage_fn(cell),
-                    self.get_variable("params", "layers"), (x, res0),
-                    axis=self.pipe_axis,
-                    microbatches=self.pipe_microbatches)
+                if use_dp:
+                    hidden, residual, _ = pipeline_apply(
+                        block_stage_fn_dp(cell, self.pipe_axis),
+                        self.get_variable("params", "layers"),
+                        (x, res0, dp_scales),
+                        axis=self.pipe_axis,
+                        microbatches=self.pipe_microbatches)
+                else:
+                    hidden, residual = pipeline_apply(
+                        block_stage_fn(cell),
+                        self.get_variable("params", "layers"), (x, res0),
+                        axis=self.pipe_axis,
+                        microbatches=self.pipe_microbatches)
             else:
                 ScannedBlock = nn.scan(
                     cell_cls,
@@ -424,15 +449,24 @@ class AudioMamba(nn.Module):
             if pipelined:
                 from aum_tpu.parallel.pipeline import (
                     block_stage_fn,
+                    block_stage_fn_dp,
                     pipeline_apply,
                 )
 
                 cell = pair_cls(block_kwargs=block_kwargs)
-                hidden, residual = pipeline_apply(
-                    block_stage_fn(cell),
-                    self.get_variable("params", "layers"), (x, res0),
-                    axis=self.pipe_axis,
-                    microbatches=self.pipe_microbatches)
+                if use_dp:
+                    hidden, residual, _ = pipeline_apply(
+                        block_stage_fn_dp(cell, self.pipe_axis),
+                        self.get_variable("params", "layers"),
+                        (x, res0, dp_scales),
+                        axis=self.pipe_axis,
+                        microbatches=self.pipe_microbatches)
+                else:
+                    hidden, residual = pipeline_apply(
+                        block_stage_fn(cell),
+                        self.get_variable("params", "layers"), (x, res0),
+                        axis=self.pipe_axis,
+                        microbatches=self.pipe_microbatches)
             else:
                 ScannedPair = nn.scan(
                     pair_cls,
@@ -535,7 +569,15 @@ class _BlockCell(nn.Module):
                                       sin.astype(residual.dtype),
                                       self.n_prefix)
         if dp_rate is not None:
-            hidden = _drop_path(self.make_rng("dropout"), hidden, dp_rate)
+            if jnp.ndim(dp_rate) == 0:
+                # per-layer RATE (nn.scan xs): draw the mask here.
+                hidden = _drop_path(self.make_rng("dropout"), hidden,
+                                    dp_rate)
+            else:
+                # precomputed per-sample SCALE (B,) — pipeline path, where
+                # make_rng is unavailable inside shard_map; the mask/keep
+                # multiply is drawn by the caller (block_stage_fn_dp).
+                hidden = hidden * dp_rate.astype(hidden.dtype)[:, None, None]
         hidden, residual = MambaBlock(
             **self.block_kwargs, name="block")(hidden, residual)
         return (hidden, residual), None
@@ -557,10 +599,20 @@ class _BlockPair(nn.Module):
         hidden, residual = carry
         h_in_f, h_in_b = hidden, hidden[:, ::-1]
         if dp_rates is not None:
-            h_in_f = _drop_path(self.make_rng("dropout"), h_in_f,
-                                dp_rates[0])
-            h_in_b = _drop_path(self.make_rng("dropout"), h_in_b,
-                                dp_rates[1])
+            if jnp.ndim(dp_rates) == 1:
+                # (2,) per-pair RATES (nn.scan xs): draw masks here.
+                h_in_f = _drop_path(self.make_rng("dropout"), h_in_f,
+                                    dp_rates[0])
+                h_in_b = _drop_path(self.make_rng("dropout"), h_in_b,
+                                    dp_rates[1])
+            else:
+                # (B, 2) precomputed per-sample SCALES (pipeline path; see
+                # _BlockCell). The per-sample scale broadcasts over length,
+                # so scaling before the flip equals scaling after it.
+                h_in_f = h_in_f * dp_rates[:, 0, None, None].astype(
+                    h_in_f.dtype)
+                h_in_b = h_in_b * dp_rates[:, 1, None, None].astype(
+                    h_in_b.dtype)
         h_f, r_f = MambaBlock(**self.block_kwargs, name="fwd")(
             h_in_f, residual)
         h_b, r_b = MambaBlock(**self.block_kwargs, name="bwd")(

@@ -85,6 +85,29 @@ def a_log_init(d_state: int):
     return init
 
 
+def _scan_bypassed() -> bool:
+    """AUM_SCAN_BYPASS=1: ablation knob for the eval millisecond budget
+    (scripts/eval_budget.py, VERDICT r4 #1). NOT a compute path — it
+    replaces the selective scan with a shape-correct surrogate so the
+    non-scan share of a model step can be measured in isolation."""
+    return os.environ.get("AUM_SCAN_BYPASS", "0") == "1"
+
+
+def _scan_bypass(args):
+    """Shape/dtype-correct scan surrogate that consumes EVERY scan input
+    (so XLA cannot dead-code the projections that feed it) at roughly the
+    HBM read floor of the real op's input streams: ~3 (B, L, D) reads and
+    2 (B, L, N) reads, a few VPU passes, no transcendental/scan work."""
+    u, delta, a, bm, cm, dsk, z, dt_b = args
+    extra = jnp.sum(a) + jnp.sum(dsk)
+    if dt_b is not None:
+        extra = extra + jnp.sum(dt_b)
+    y = (u * z + delta
+         + (jnp.sum(bm, -1) + jnp.sum(cm, -1))[..., None]
+         + extra.astype(u.dtype) * jnp.asarray(1e-30, u.dtype))
+    return y.astype(u.dtype)
+
+
 class MambaMixer(nn.Module):
     """Selective-SSM mixer (one direction pair) for one block."""
 
@@ -274,6 +297,8 @@ class MambaMixer(nn.Module):
 
         def scan_one(args, reverse):
             u, delta, a, bm, cm, dsk, z, dt_b = args
+            if _scan_bypassed():
+                return _scan_bypass(args)
             if self.seq_axis is not None:
                 from aum_tpu.ops.seq_parallel import sharded_scan_in_jit
 
@@ -290,8 +315,11 @@ class MambaMixer(nn.Module):
             y = scan_one(args_f, reverse=False)
         else:
             if use_dual:
-                y_f, y_b = selective_scan_dual(args_f, args_r,
-                                               dt_fold=dt_fold)
+                if _scan_bypassed():
+                    y_f, y_b = _scan_bypass(args_f), _scan_bypass(args_r)
+                else:
+                    y_f, y_b = selective_scan_dual(args_f, args_r,
+                                                   dt_fold=dt_fold)
             else:
                 y_f = scan_one(args_f, reverse=False)
                 y_b = scan_one(args_r, reverse=True)

@@ -392,7 +392,7 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, x0=None, *, reverse, save_states,
 def _bwd_kernel(
     *refs,
     l_chunk: int, reverse: bool, seq_len: int, softplus: bool = True,
-    with_state: bool = False,
+    with_state: bool = False, xminus: bool = True,
 ):
     # dt arrives pre-activated (see _fwd_kernel_z): the softplus chain rule
     # is applied IN-KERNEL from dt alone via sigmoid(delta + bias) =
@@ -483,12 +483,29 @@ def _bwd_kernel(
     dd_ref[...] += jnp.sum(gy * u, axis=(0, 1), keepdims=True)[0]
 
     # --- Adjoint scan:  lam_t = C_t*gy_t + a_{t+1}*lam_{t+1}. ---------------
-    tmp_scr[...] = cm[:, :, :, None] * gy[:, :, None, :]    # CgY
+    # Pass-merge (VERDICT r4 #2c): dla_t = lam_t * a_t * x_{t-1} is computed
+    # via the recurrence identity  a_t * x_{t-1} = x_t - dBu_t  (exact in
+    # the same fp32 arithmetic that produced x_t, up to one rounding of the
+    # fused update), which removes TWO full (L_c, N, d_b) traversals from
+    # the chunk epilogue: the xprev concat (a Mosaic stack temporary) and
+    # the separate *a_scr multiply. To keep dBu (tmp_scr) live, CgY is
+    # staged in lam_scr and the adjoint loop updates lam_scr IN PLACE.
+    # Overhang rows: dt=0 => a=1, dBu=0 => x_t = x_{t-1}, so
+    # lam*(x_t - 0) == lam*1*x_{t-1} — identical to the old form; the same
+    # consumer-side masking argument applies (dat via dt=0, ddelta via
+    # sig=0, dbp via dt*u=0).
+    if xminus:
+        lam_scr[...] = cm[:, :, :, None] * gy[:, :, None, :]    # CgY
+    else:
+        # Old form (A/B reference, AUM_SCAN_BWD_XPREV=1): CgY staged in
+        # tmp_scr, dla via explicit xprev concat + a_scr multiply.
+        tmp_scr[...] = cm[:, :, :, None] * gy[:, :, None, :]
 
     def bwd_body(i, p):
         # Iterate opposite to the forward scan direction.
         t = i if reverse else (l_chunk - 1 - i)
-        lam = tmp_scr[:, t] + p
+        src = lam_scr if xminus else tmp_scr
+        lam = src[:, t] + p
         lam_scr[:, t] = lam
         return a_scr[:, t] * lam
 
@@ -499,20 +516,16 @@ def _bwd_kernel(
         # entry); the sequentially-last grid step's value is dL/dx0.
         dx0_ref[...] = lam_state[...]
 
-    # --- xprev (state one scan-step before t, in logical layout). -----------
-    xb0 = xb_ref[:, 0].astype(jnp.float32)[:, None]         # (b_t, 1, N, d_b)
-    if reverse:
-        xprev = jnp.concatenate([x_scr[:, 1:], xb0], axis=1)
-    else:
-        xprev = jnp.concatenate([xb0, x_scr[:, : l_chunk - 1]], axis=1)
-
     lam = lam_scr[...]
-    # No overhang mask needed on dla: every consumer already kills overhang
-    # rows — dat through dt=0, ddelta through sig=0 (sig = 1-exp(-dt) and
-    # dt is masked; overhang output rows are also discarded), dbp through
-    # dt·u=0. Skipping the mask saves one full (b_t, L_c, N, d_b) stack
-    # temporary of scoped VMEM.
-    dla = lam * a_scr[...] * xprev                           # grad wrt dt*A
+    if xminus:
+        dla = lam * (x_scr[...] - tmp_scr[...])              # grad wrt dt*A
+    else:
+        xb0 = xb_ref[:, 0].astype(jnp.float32)[:, None]     # (b_t,1,N,d_b)
+        if reverse:
+            xprev = jnp.concatenate([x_scr[:, 1:], xb0], axis=1)
+        else:
+            xprev = jnp.concatenate([xb0, x_scr[:, : l_chunk - 1]], axis=1)
+        dla = lam * a_scr[...] * xprev
     dat_ref[...] += jnp.sum(dt[:, :, None, :] * dla, axis=(0, 1))
     gdtu = jnp.sum(lam * bm[:, :, :, None], axis=2)          # (b_t, L_c, d_b)
     ddt = jnp.sum(dla * a_t[None, None], axis=2) + gdtu * u
@@ -521,9 +534,10 @@ def _bwd_kernel(
     dbias_ref[...] += jnp.sum(ddelta, axis=(0, 1), keepdims=True)[0]
     du_ref[...] = (gy * dsk + gdtu * dt).astype(du_ref.dtype)
     dbp_ref[...] = jnp.sum(
-        lam * (dt * u)[:, :, None, :], axis=3)[None]         # (b_t, L_c, N)
+        lam * (dt * u)[:, :, None, :],
+        axis=3)[None].astype(dbp_ref.dtype)                  # (b_t, L_c, N)
     dcp_ref[...] = jnp.sum(
-        x_scr[...] * gy[:, :, None, :], axis=3)[None]
+        x_scr[...] * gy[:, :, None, :], axis=3)[None].astype(dcp_ref.dtype)
     # (dbp is already masked through dt=0; dcp through gy=0.)
 
 
@@ -652,7 +666,7 @@ def _bwd_kernel_fused(
 
 def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin=None, *,
                 reverse, d_block, l_chunk, interpret, b_tile=None,
-                fused=True, softplus=True):
+                fused=True, softplus=True, xprev_form=False):
     with_state = gfin is not None
     if with_state:
         fused = False  # state-carrying path supports the v1 kernel only
@@ -703,12 +717,20 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin=None, *,
     kernel = functools.partial(
         _bwd_kernel_fused if fused else _bwd_kernel,
         l_chunk=l_chunk, reverse=reverse, seq_len=seq_len, softplus=softplus,
-        **({"with_state": True} if with_state else {}))
+        **({"with_state": True} if with_state else {}),
+        **({} if fused else {"xminus": not xprev_form}))
 
     state_spec = pl.BlockSpec(
         (b_tile, n_pad, d_block), lambda di, bi, li: (bi, 0, di),
         memory_space=pltpu.VMEM)
 
+    # bf16 dB/dC partials (VERDICT r4 #2b, AUM_SCAN_BWD_BF16_PARTIALS=1):
+    # halves the HBM write+readback of the two (n_d, B, L, N) partial
+    # streams; the cross-tile reduction outside stays fp32 (_get_bwd_op
+    # upcasts before summing). Env is read at trace time (the op is
+    # lru_cached per process, like the other A/B knobs).
+    pdt = (jnp.bfloat16 if _env_int("AUM_SCAN_BWD_BF16_PARTIALS", 0)
+           else jnp.float32)
     out_shapes = [
         jax.ShapeDtypeStruct((bsz, seq_len, d), u.dtype),      # du
         jax.ShapeDtypeStruct((bsz, seq_len, d), dt.dtype),     # ddelta
@@ -716,8 +738,8 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin=None, *,
         jax.ShapeDtypeStruct((n_pad, d), jnp.float32),         # dA_T
         jax.ShapeDtypeStruct((1, d), jnp.float32),             # dD
         jax.ShapeDtypeStruct((1, d), jnp.float32),             # dbias
-        jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), jnp.float32),
-        jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), pdt),
+        jax.ShapeDtypeStruct((n_d, bsz, seq_len, n_pad), pdt),
     ]
     out_specs = [seq_spec, seq_spec, seq_spec, at_spec, vec_spec, vec_spec,
                  part_spec, part_spec]
@@ -1265,15 +1287,16 @@ def _get_fwd_op(reverse: bool, save_states: bool, d_block_target: int,
 @functools.lru_cache(maxsize=None)
 def _get_bwd_op(reverse: bool, bwd_target: int, l_chunk: int,
                 interpret: bool, fused: bool = True, softplus: bool = True,
-                with_state: bool = False):
+                with_state: bool = False, xprev_form: bool = False):
     if with_state:
         def fun(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin):
             du, ddelta, dz, dat, dd, dbias, dbp, dcp, dx0 = _bwd_pallas(
                 u, dt, a_t, bm, cm, dsk, z, g, xb, gfin, reverse=reverse,
                 d_block=bwd_target, l_chunk=l_chunk, interpret=interpret,
-                fused=False, softplus=softplus)
+                fused=False, softplus=softplus, xprev_form=xprev_form)
             return (du, ddelta, dz, dat, dd, dbias,
-                    jnp.sum(dbp, axis=0), jnp.sum(dcp, axis=0), dx0)
+                    jnp.sum(dbp.astype(jnp.float32), axis=0),
+                    jnp.sum(dcp.astype(jnp.float32), axis=0), dx0)
 
         if not _partition_enabled():
             return fun
@@ -1286,12 +1309,13 @@ def _get_bwd_op(reverse: bool, bwd_target: int, l_chunk: int,
         du, ddelta, dz, dat, dd, dbias, dbp, dcp = _bwd_pallas(
             u, dt, a_t, bm, cm, dsk, z, g, xb, reverse=reverse,
             d_block=bwd_target, l_chunk=l_chunk, interpret=interpret,
-            fused=fused, softplus=softplus)
+            fused=fused, softplus=softplus, xprev_form=xprev_form)
         # Reduce the per-d-tile dB/dC partials here so the op's outputs are
         # global shapes (the remaining cross-shard d-reduction is the psum
         # in the partitioning rule).
         return (du, ddelta, dz, dat, dd, dbias,
-                jnp.sum(dbp, axis=0), jnp.sum(dcp, axis=0))
+                jnp.sum(dbp.astype(jnp.float32), axis=0),
+                jnp.sum(dcp.astype(jnp.float32), axis=0))
 
     if not _partition_enabled():
         return fun
@@ -1424,12 +1448,13 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         # l_chunk must match).
         n_pad = a_t.shape[0]
         fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
+        xprev_form = _env_int("AUM_SCAN_BWD_XPREV", 0) != 0
         eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
         budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
         op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused,
-                         softplus)
+                         softplus, xprev_form=xprev_form)
         du, ddelta, dz, dat, dd, dbias, dbsum, dcsum = op(
             up, dtp, a_t, bp, cp, dsk, zp, gout, xb)
         dA = jnp.swapaxes(dat, 0, 1)[:, :n]
@@ -1501,7 +1526,8 @@ def _make_scan_x0(reverse: bool, d_block_target: int, l_chunk_target: int,
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
         op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, False,
-                         softplus, True)
+                         softplus, True,
+                         xprev_form=_env_int("AUM_SCAN_BWD_XPREV", 0) != 0)
         du, ddelta, dz, dat, dd, dbias, dbsum, dcsum, dx0 = op(
             up, dtp, a_t, bp, cp, dsk, zp, gout, xb,
             _to_kernel(gfin, n, n_pad))
@@ -2169,7 +2195,8 @@ def _dual_bwd_impl(res, gout, interpret):
 
     def one(args, xb, g, reverse, n):
         up, dtp, a_t, bp, cp, dsk, zp = args
-        op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused)
+        op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused,
+                         xprev_form=_env_int("AUM_SCAN_BWD_XPREV", 0) != 0)
         return finish(op(up, dtp, a_t, bp, cp, dsk, zp, g, xb),
                       args, n)
 

@@ -119,6 +119,46 @@ def pipeline_apply(stage_fn, stacked_params, carry, *, axis: str = "pipe",
     return run(stacked_params, carry)
 
 
+def block_stage_fn_dp(cell, axis: str = "pipe"):
+    """Stage function with stochastic depth (VERDICT r4 #5).
+
+    The rng problem with drop_path under the shard_map pipeline is solved by
+    moving the randomness OUT of the pipeline: the caller draws one
+    per-(layer, sample) keep/scale array up front (models/audio_mamba.py
+    computes ``mask/keep`` from its own ``make_rng('dropout')``) and appends
+    it to the pipeline carry, so the scales travel WITH each microbatch
+    through the ``(m, B/m, ...)`` reshape and the bubble masking, exactly
+    like the activations. Each stage slices its own depth range by
+    ``axis_index`` and feeds the per-layer per-sample scale to the cell as
+    the scan xs (rank >= 1 selects the precomputed-scale branch in
+    ``_BlockCell``/``_BlockPair``; a scalar/(2,) xs means "rate, draw rng
+    inside", which is the sequential nn.scan path).
+
+    Carry layout: ``(*state, scales)`` where ``scales`` is
+    (B, depth[, 2]) — batch-leading so pipeline_apply's microbatching slices
+    it consistently with the activations.
+    """
+
+    def f(local_params, carry):
+        *state, scales = carry
+        state = tuple(state)
+        n_local = jax.tree_util.tree_leaves(local_params)[0].shape[0]
+        idx = lax.axis_index(axis)
+        local = lax.dynamic_slice_in_dim(
+            scales, idx * n_local, n_local, axis=1)
+        xs = jnp.moveaxis(local, 1, 0)  # (n_local, B_micro[, 2])
+
+        def body(c, inp):
+            layer_params, s = inp
+            c, _ = cell.apply({"params": layer_params}, c, s)
+            return c, None
+
+        state, _ = lax.scan(body, state, (local_params, xs))
+        return (*state, scales)
+
+    return f
+
+
 def block_stage_fn(cell):
     """Stage function for a flax scan-cell module (e.g.
     models/audio_mamba.py::_BlockCell): sequentially applies the stage's

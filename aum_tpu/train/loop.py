@@ -195,6 +195,15 @@ def make_train_step(
             # drifts late by the number of skipped steps. The Adam
             # count/moments above DO revert (torch Adam never .step()s on a
             # skipped batch, traintest.py:160-162).
+            # Known residual divergence (ADVICE r4): this count also drives
+            # the WARMUP segment of lr_at_step, while the reference's warmup
+            # is keyed on its global_step, which does NOT increment on
+            # continue'd non-finite batches (traintest.py:160-182). If
+            # non-finite steps occur DURING warmup, our warmup lr runs
+            # slightly ahead of the reference's. Kept deliberately: one
+            # schedule count cannot satisfy both, decay milestones matter
+            # for the shipped recipes (warmup NaNs do not occur there), and
+            # wall-clock-aligned warmup is arguably more correct.
             opt_state = opt_state[:-1] + (new_opt[-1],)
         loss32 = loss.astype(jnp.float32)
         return TrainState(

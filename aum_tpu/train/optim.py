@@ -92,7 +92,13 @@ def lr_at_step(hp: TrainHyperParams, step, steps_per_epoch: int):
         return sched_lr
     w = 1000 // hp.bs_scale_factor
     q = max(1, 50 // hp.bs_scale_factor)
-    last_warm = jnp.minimum(step - step % q, w)   # most recent warm write
+    # Most recent warm write: the largest multiple of q that is <= min(step,
+    # w). Clamping to (w//q)*q, not w (ADVICE r4): the reference's warm
+    # writes land only at multiples of q (traintest.py:120-124 guards
+    # global_step % q == 0), so when w % q != 0 (off-recipe bs_scale_factor
+    # with 1000//s not divisible by 50//s, e.g. s=4: w=250, q=12) the last
+    # write is at 240 with lr 0.96*base — there is never a write at w itself.
+    last_warm = jnp.minimum(step - step % q, (w // q) * q)
     epoch_start = (step // steps_per_epoch) * steps_per_epoch
     warm_lr = (last_warm.astype(jnp.float32) / w) * hp.lr
     # Warm value holds until the next scheduler write (epoch boundary);

@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 
 A100_REFERENCE_CLIPS_PER_SEC = 650.0
+# BASELINE.json's program target is >=5x the A100 denominator. Carry it in
+# the JSON so vs_baseline=0.64 can never read as "64% of goal" (VERDICT r4
+# #3): vs_target = value / (5 * 650). The denominator itself is a modeled
+# estimate (+-25%), not a measurement — derivation in BASELINE.md "The A100
+# eval-throughput denominator".
+TARGET_MULTIPLE = 5.0
 
 
 def main():
@@ -77,6 +83,11 @@ def main():
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),
+        "vs_target": round(
+            clips_per_sec / (TARGET_MULTIPLE * A100_REFERENCE_CLIPS_PER_SEC),
+            3),
+        "baseline_note": ("denominator 650 clips/s = modeled A100 estimate "
+                          "(+-25%, BASELINE.md); target = 5x that"),
     }))
 
 

@@ -45,7 +45,7 @@ REL[voxceleb-base-as]="1dqWSIKTvA0wqKy-XTXYn-MUourMtHGrQ base Fo-Bi 1251 1024 -3
 REL[spc2-base-as]="1ikkU4COOqeCNCVTn4b7LulNr9p4Efr4M base Fo-Bi 35 128 -6.845978 5.5654526 speechcommands/aum-base_scratch acc=94.82"
 REL[epic-base-as]="1wsRhPqtHryi3PQz1WPJYkMMOPbmOMXrV base Fo-Bi 44 1024 -6.627534 4.4917786 epic_sounds/aum-base_scratch acc=48.31"
 
-url="" release="" work="" sha256="" ref_parity=1
+url="" release="" work="" sha256="" ref_parity=1 drill_model_type=""
 model_type="base" aum_type="Fo-Bi" n_class=527 audio_length=1024
 dataset_mean="-4.2677393" dataset_std="4.5689974" recipe="" expected=""
 fbank_npz="" data_eval="" label_csv="" wavs=()
@@ -56,6 +56,12 @@ while [ $# -gt 0 ]; do
     --work) work=$2; shift 2 ;;
     --sha256) sha256=$2; shift 2 ;;
     --no-ref-parity) ref_parity=0; shift ;;
+    # Loopback-drill scale override (VERDICT r4 #4): tests walk ALL 16
+    # release rows through this exact chain with the row's n_class /
+    # audio_length / mean / std / url handling intact, but the model scaled
+    # to tiny so 16 ports+forwards stay CPU-feasible. NEVER use with a real
+    # released checkpoint — the real row's model_type must match its .pth.
+    --drill-model-type) drill_model_type=$2; shift 2 ;;
     --model-type) model_type=$2; shift 2 ;;
     --aum-type) aum_type=$2; shift 2 ;;
     --n-class) n_class=$2; shift 2 ;;
@@ -79,6 +85,10 @@ if [ -n "$release" ]; then
   read -r drive_id model_type aum_type n_class audio_length dataset_mean dataset_std recipe expected <<<"$row"
   url=${url:-$drive_id}
   echo "release $release: $model_type $aum_type n_class=$n_class len=$audio_length (reference README: $expected)"
+fi
+if [ -n "$drill_model_type" ]; then
+  echo "DRILL: overriding model_type $model_type -> $drill_model_type (loopback test scale)"
+  model_type=$drill_model_type
 fi
 [ -n "$url" ] || { echo "need --url or --release"; exit 2; }
 [ -n "$work" ] || { echo "need --work DIR"; exit 2; }

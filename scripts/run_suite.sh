@@ -34,7 +34,8 @@ CHUNKS=(
   "tests/test_lm.py tests/test_model.py tests/test_multihost.py"
   "tests/test_runner.py"
   "tests/test_scan_partition.py tests/test_selective_scan.py tests/test_seq_parallel.py tests/test_serving.py"
-  "tests/test_tp_layout.py tests/test_fetch_verify.py tests/test_pipeline.py"
+  "tests/test_tp_layout.py tests/test_pipeline.py"
+  "tests/test_fetch_verify.py"
   "tests/test_torch_port.py tests/test_train.py"
   "tests/test_ref_parity.py"
 )
@@ -52,6 +53,29 @@ done
 if [ "$missing" -ne 0 ]; then
   echo "=== suite rc=2 (chunk list incomplete)"
   exit 2
+fi
+
+# Compile-count guard (VERDICT r4 #6): the observed XLA-CPU LLVM-JIT
+# segfault hits after ~110 tests' worth of compiles in one process, and a
+# second crash family hit at ~2/3 that in a compile-cache write. Refuse any
+# chunk whose STATIC test-function count exceeds 75 (margin under the ~110
+# empirical budget; pytest parametrize expands beyond the static count, so
+# keep headroom) — this turns the next oversized chunk into a loud config
+# error instead of a mid-run segfault.
+MAX_CHUNK_TESTS=75
+oversize=0
+for i in "${!CHUNKS[@]}"; do
+  # shellcheck disable=SC2086
+  n=$(grep -ch '^def test_\|^    def test_' ${CHUNKS[$i]} | awk '{s+=$1} END {print s+0}')
+  if [ "$n" -gt "$MAX_CHUNK_TESTS" ]; then
+    echo "ERROR: chunk $((i + 1)) has $n test functions > $MAX_CHUNK_TESTS" \
+         "(XLA-CPU compile-crash budget; split the chunk)"
+    oversize=1
+  fi
+done
+if [ "$oversize" -ne 0 ]; then
+  echo "=== suite rc=3 (oversized chunk)"
+  exit 3
 fi
 
 rc=0

@@ -8,6 +8,14 @@ Note: the environment may pre-register a TPU backend at interpreter start via
 sitecustomize (JAX_PLATFORMS=axon), so simply setting env vars here is not
 enough — we override the platform through jax.config, which works as long as
 no computation has run yet.
+
+Chunk-size budget (VERDICT r4 #6): scripts/run_suite.sh enforces a static
+cap of 75 test functions per chunk — the empirical XLA-CPU LLVM-JIT
+segfault budget is ~110 runtime tests of compile churn in one process (six
+observations at test_runner::test_run_eval_wa_and_ensemble; one more inside
+a compile-cache write during test_drop_path), and parametrize expansion
+plus margin motivates the lower static cap. Adding a module? Put it in a
+chunk that stays under the cap, or give it its own chunk.
 """
 
 import os

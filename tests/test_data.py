@@ -268,3 +268,49 @@ def test_bench_pipeline_script(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["host_assembly_clips_per_sec"] > 0
     assert out["assembly_plus_cpu_featurize_clips_per_sec"] > 0
+
+
+def test_native_feed_rate_meets_consumption(tmp_path):
+    """Feed-rate proof for the real datapath (VERDICT r4 #7): 10s WAVs
+    through the csrc native decoders -> label stack -> batch assembly must
+    sustain at least the measured TRAIN-step consumption rate (80 clips/s
+    at B=12, docs/ROOFLINE.md) with 2x margin even on this 1-core build
+    host. The reference point is scripts/bench_pipeline.py's 754 clips/s
+    host-assembly measurement (ROOFLINE.md "Host input pipeline"); the
+    featurize runs on-device on TPU and overlaps the step (Prefetcher), so
+    host assembly is the binding feed rate. Also pins that the native C++
+    decode path is actually engaged — a silent fallback to the python
+    decoder is the regression most worth catching."""
+    import time
+
+    from scripts.bench_pipeline import gen_wavs
+    from aum_tpu.data import AudioConf, AudioJsonDataset
+    from aum_tpu.data.pipeline import BatchPipeline
+
+    entries = gen_wavs(str(tmp_path), 24, 10.0)
+    datafile = tmp_path / "data.json"
+    datafile.write_text(json.dumps({"data": entries}))
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text("index,mid,display_name\n" + "\n".join(
+        f"{i},/m/{i},c{i}" for i in range(5)))
+
+    conf = AudioConf(target_length=1024, mixup=0.5, freqm=48, timem=192,
+                     mean=-4.2677393, std=4.5689974)
+    ds = AudioJsonDataset(str(datafile), conf, str(label_csv))
+    pipe = BatchPipeline(ds, batch_size=12, train=True, seed=0,
+                         num_workers=4)
+    assert pipe._native, "native C++ WAV decode path not engaged"
+    pipe._featurize = lambda k, w, nf, y, *a: (w, nf, y)  # host-only
+
+    for _ in pipe.batches(0):  # warm (page cache, worker spin-up)
+        pass
+    clips, t0 = 0, time.perf_counter()
+    for epoch in (1, 2, 3):
+        for b in pipe.batches(epoch):
+            clips += 12
+    rate = clips / (time.perf_counter() - t0)
+    # 160 = 2x the 80 clips/s train consumption; measured 754 on this host
+    # class, so a pass needs >4.7x degradation margin but a real pipeline
+    # regression (python fallback ~100 clips/s, or quadratic assembly)
+    # still fails loudly.
+    assert rate >= 160.0, f"host assembly too slow: {rate:.1f} clips/s"

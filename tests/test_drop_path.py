@@ -130,13 +130,72 @@ def test_grads_flow_with_drop_path():
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
-def test_drop_path_with_pipeline_raises():
-    cfg = dataclasses.replace(CFG, drop_path_rate=0.1)
-    model = AudioMamba(cfg, pipe_axis="pipe")
-    params = AudioMamba(cfg).init(jax.random.PRNGKey(0), _x())
-    with pytest.raises(NotImplementedError):
-        model.apply(params, _x(), train=True,
-                    rngs={"dropout": jax.random.PRNGKey(0)})
+def _pipe_mesh(n):
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip("needs virtual devices")
+    return Mesh(np.array(devs[:n]), ("pipe",))
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_drop_path_pipeline_matches_single_stage(bidir):
+    """drop_path under PP (VERDICT r4 #5): the per-(layer, sample) keep
+    scales are drawn in module scope and shipped through the pipeline carry
+    (parallel/pipeline.py::block_stage_fn_dp). The SAME dropout rng must
+    give the SAME output whether the stack runs on 1 stage or pipelined
+    over 2 — the strong check of the schedule's scale bookkeeping."""
+    cfg = dataclasses.replace(CFG, if_bidirectional=bidir,
+                              drop_path_rate=0.5)
+    model = AudioMamba(cfg, pipe_axis="pipe", pipe_microbatches=2)
+    params = AudioMamba(cfg).init(jax.random.PRNGKey(0), _x(4))
+    outs = {}
+    for n in (1, 2):
+        mesh = _pipe_mesh(n)
+        with jax.set_mesh(mesh):
+            f = jax.jit(lambda p, x, k: model.apply(
+                p, x, train=True, rngs={"dropout": k}))
+            outs[n] = np.asarray(f(params, _x(4), jax.random.PRNGKey(7)))
+    np.testing.assert_allclose(outs[1], outs[2], rtol=2e-5, atol=2e-5)
+
+
+def test_drop_path_pipeline_is_live_reproducible_and_eval_exact():
+    cfg = dataclasses.replace(CFG, drop_path_rate=0.8)
+    model = AudioMamba(cfg, pipe_axis="pipe", pipe_microbatches=2)
+    base = AudioMamba(cfg)
+    params = base.init(jax.random.PRNGKey(0), _x(4))
+    mesh = _pipe_mesh(2)
+    with jax.set_mesh(mesh):
+        f = jax.jit(lambda p, x, k: model.apply(
+            p, x, train=True, rngs={"dropout": k}))
+        y1 = np.asarray(f(params, _x(4), jax.random.PRNGKey(1)))
+        y1b = np.asarray(f(params, _x(4), jax.random.PRNGKey(1)))
+        y2 = np.asarray(f(params, _x(4), jax.random.PRNGKey(2)))
+        # Eval under PP ignores the rate and equals the non-pipe eval.
+        y_eval = np.asarray(jax.jit(
+            lambda p, x: model.apply(p, x, train=False))(params, _x(4)))
+    np.testing.assert_array_equal(y1, y1b)
+    assert not np.allclose(y1, y2)
+    y_eval_ref = np.asarray(base.apply(params, _x(4), train=False))
+    np.testing.assert_allclose(y_eval, y_eval_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_drop_path_pipeline_grads_finite():
+    cfg = dataclasses.replace(CFG, drop_path_rate=0.3)
+    model = AudioMamba(cfg, pipe_axis="pipe", pipe_microbatches=2)
+    params = AudioMamba(cfg).init(jax.random.PRNGKey(0), _x(4))
+    mesh = _pipe_mesh(2)
+
+    def loss(p, x, k):
+        y = model.apply(p, x, train=True, rngs={"dropout": k})
+        return jnp.sum(y ** 2)
+
+    with jax.set_mesh(mesh):
+        g = jax.jit(jax.grad(loss))(params, _x(4), jax.random.PRNGKey(5))
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
 def test_train_step_with_drop_path():

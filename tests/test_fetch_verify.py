@@ -11,6 +11,7 @@ host the identical commands fetch the real files; the dataset-eval leg
 
 import hashlib
 import http.server
+import json
 import os
 import subprocess
 import sys
@@ -133,6 +134,132 @@ def test_fetch_drive_interstitial_flow(http_root, tmp_path, monkeypatch):
         srv.shutdown()
 
 
+def _parse_release_table():
+    """Parse the REL table out of scripts/fetch_and_verify.sh (the
+    transcription of /root/reference/README.md:106-140)."""
+    import re
+
+    rows = {}
+    for line in open(os.path.join(REPO, "scripts", "fetch_and_verify.sh")):
+        m = re.match(r'REL\[([\w-]+)\]="([^"]+)"', line.strip())
+        if m:
+            (drive_id, model_type, aum_type, n_class, audio_len, mean, std,
+             recipe, expected) = m.group(2).split()
+            rows[m.group(1)] = dict(
+                drive_id=drive_id, model_type=model_type, aum_type=aum_type,
+                n_class=int(n_class), audio_length=int(audio_len),
+                mean=float(mean), std=float(std), recipe=recipe,
+                expected=expected)
+    return rows
+
+
+def test_release_table_metadata():
+    """All 16 README rows: well-formed, unique, recipes resolvable, and the
+    Drive ids actually appear in the upstream README (the transcription
+    can't silently drift)."""
+    import re
+
+    rows = _parse_release_table()
+    assert len(rows) == 16
+    ids = [r["drive_id"] for r in rows.values()]
+    assert len(set(ids)) == 16
+    readme = ""
+    readme_path = "/root/reference/README.md"
+    if os.path.exists(readme_path):
+        readme = open(readme_path, encoding="utf-8").read()
+    from aum_tpu.configs import RECIPES
+
+    for key, r in rows.items():
+        assert re.fullmatch(r"[\w-]{25,}", r["drive_id"]), key
+        assert r["model_type"] in ("base", "small"), key
+        # Released bases are Fo-Bi, smalls are Bi-Bi (README table).
+        assert r["aum_type"] == (
+            "Fo-Bi" if r["model_type"] == "base" else "Bi-Bi"), key
+        assert r["n_class"] in (527, 309, 1251, 35, 44), key
+        assert r["audio_length"] in (128, 1024), key
+        assert -8.0 < r["mean"] < -3.0 and 4.0 < r["std"] < 6.0, key
+        assert r["recipe"] in RECIPES, key
+        assert re.fullmatch(r"(mAP|acc)=\d+\.\d+", r["expected"]), key
+        if readme:
+            assert r["drive_id"] in readme, \
+                f"{key}: drive id not found in upstream README"
+
+
+@pytest.fixture(scope="module")
+def release_server(tmp_path_factory):
+    """One loopback server holding a synthetic tiny-scale .pth for every
+    distinct (aum_type, n_class, audio_length) geometry in the release
+    table; yields (base_url, {key: (relpath, sha256)})."""
+    import torch
+
+    from tests.test_torch_port import make_sd_dims
+
+    root = tmp_path_factory.mktemp("release_www")
+    rows = _parse_release_table()
+    files = {}
+    by_geom = {}
+    rng = np.random.default_rng(11)
+    for key, r in rows.items():
+        bimamba = "v1" if r["aum_type"] == "Fo-Bi" else "v2"
+        geom = (bimamba, r["n_class"], r["audio_length"])
+        if geom not in by_geom:
+            n_patches = (128 // 16) * (r["audio_length"] // 16)
+            sd = make_sd_dims(rng, depth=24, d_model=192,
+                              n_patches=n_patches, n_class=r["n_class"],
+                              bimamba_type=bimamba)
+            name = f"{bimamba}_{r['n_class']}_{r['audio_length']}.pth"
+            torch.save({k: torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()}, str(root / name))
+            digest = hashlib.sha256((root / name).read_bytes()).hexdigest()
+            by_geom[geom] = (name, digest)
+        files[key] = by_geom[geom]
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", files
+    finally:
+        srv.shutdown()
+
+
+@pytest.mark.parametrize("release", sorted(_parse_release_table()))
+def test_fetch_and_verify_release_row(release, release_server, tmp_path):
+    """VERDICT r4 #4: every README row end-to-end through the REAL drill
+    script — row parsing, url/sha handling, n_class/audio_length/mean/std
+    threading into the porter and the forward, golden record + re-verify —
+    against the loopback fixture, so the first egress-capable run cannot
+    die on row parsing or geometry. Model scale is overridden to tiny
+    (--drill-model-type, see the script) to keep 16 CPU ports feasible;
+    real-scale porting is covered by test_torch_port/test_goldens."""
+    base, files = release_server
+    relpath, digest = files[release]
+    work = tmp_path / "work"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        ["bash", "scripts/fetch_and_verify.sh",
+         "--release", release, "--url", f"{base}/{relpath}",
+         "--work", str(work), "--sha256", digest,
+         "--no-ref-parity", "--drill-model-type", "tiny"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert f"release {release}:" in out
+    assert "sha256 OK" in out
+    assert "PARITY OK" in out
+    assert "fetch_and_verify OK" in out
+    g = np.load(work / f"golden_{release}.npz")
+    rows = _parse_release_table()
+    assert g["logits"].shape == (2, rows[release]["n_class"])
+    assert np.isfinite(g["logits"]).all()
+
+
 def test_fetch_and_verify_chain(http_root, tmp_path):
     """The full shell chain against a served synthetic .pth: fetch + sha256
     -> port -> forward -> golden record -> golden re-verify. --no-ref-parity
@@ -167,3 +294,72 @@ def test_fetch_and_verify_chain(http_root, tmp_path):
     assert (work / "golden_ckpt.npz").exists()
     g = np.load(work / "golden_ckpt.npz")
     assert g["logits"].shape == (2, 35) and np.isfinite(g["logits"]).all()
+
+
+def _make_lm_hf_dir(root):
+    """Synthetic HF-format Mamba LM dir (config.json + pytorch_model.bin)
+    in the exact upstream key layout (mixer_seq_simple.py state_dict:
+    backbone.embedding/layers.i.{norm,mixer.*}/norm_f + tied lm_head)."""
+    import torch
+
+    d_model, n_layer, vocab, d_state = 64, 2, 50, 8
+    padded = 56  # pad_vocab_size_multiple=8
+    d_in, r = 2 * d_model, -(-d_model // 16)
+    rng = np.random.default_rng(21)
+
+    def rn(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    emb = rn(padded, d_model, scale=0.02)
+    sd = {"backbone.embedding.weight": emb,
+          "backbone.norm_f.weight": 1.0 + rn(d_model, scale=0.02),
+          "lm_head.weight": emb}  # tied, as released checkpoints are
+    for i in range(n_layer):
+        p = f"backbone.layers.{i}."
+        sd[p + "norm.weight"] = 1.0 + rn(d_model, scale=0.02)
+        sd[p + "mixer.in_proj.weight"] = rn(2 * d_in, d_model)
+        sd[p + "mixer.conv1d.weight"] = rn(d_in, 1, 4, scale=0.1)
+        sd[p + "mixer.conv1d.bias"] = rn(d_in, scale=0.1)
+        sd[p + "mixer.x_proj.weight"] = rn(r + 2 * d_state, d_in)
+        sd[p + "mixer.dt_proj.weight"] = rn(d_in, r, scale=0.1)
+        sd[p + "mixer.dt_proj.bias"] = rn(d_in) - 4.0
+        sd[p + "mixer.A_log"] = np.log(np.tile(
+            np.arange(1, d_state + 1, dtype=np.float32), (d_in, 1)))
+        sd[p + "mixer.D"] = 1.0 + rn(d_in, scale=0.02)
+        sd[p + "mixer.out_proj.weight"] = rn(d_model, d_in)
+    (root / "config.json").write_text(json.dumps({
+        "d_model": d_model, "n_layer": n_layer, "vocab_size": vocab,
+        "d_state": d_state, "ssm_cfg": {"d_state": d_state},
+        "rms_norm": True, "residual_in_fp32": True, "fused_add_norm": True,
+        "pad_vocab_size_multiple": 8}))
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(root / "pytorch_model.bin"))
+
+
+def test_fetch_and_verify_lm_chain(http_root, tmp_path):
+    """VERDICT r4 #8: the one-command LM parity drill against a loopback
+    hub — fetch config+weights -> port (from_pretrained_hf) -> forward ->
+    reference-code parity (the ACTUAL upstream MambaLMHeadModel with
+    oracle-stubbed kernels) -> golden record -> golden re-verify. On an
+    egress-capable host the same script takes --hub state-spaces/mamba-130m."""
+    import hashlib as _h
+
+    root, base = http_root
+    _make_lm_hf_dir(root)
+    csha = _h.sha256((root / "config.json").read_bytes()).hexdigest()
+    wsha = _h.sha256((root / "pytorch_model.bin").read_bytes()).hexdigest()
+    work = tmp_path / "work"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        ["bash", "scripts/fetch_and_verify_lm.sh", "--work", str(work),
+         "--config-url", f"{base}/config.json",
+         "--weights-url", f"{base}/pytorch_model.bin",
+         "--config-sha256", csha, "--weights-sha256", wsha],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "LM PARITY OK" in out
+    assert "LM GOLDEN OK" in out
+    assert "fetch_and_verify_lm OK" in out
+    g = np.load(work / "golden_lm.npz")
+    assert g["logits"].shape == (2, 16, 56) and np.isfinite(g["logits"]).all()

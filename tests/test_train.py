@@ -39,6 +39,25 @@ def test_lr_schedule_multistep_and_warmup():
     assert np.isclose(float(lr_at_step(hp, 6500, spe)), 0.25e-4)
 
 
+def test_lr_warmup_clamp_when_w_not_multiple_of_q():
+    """ADVICE r4: off-recipe bs_scale_factor where w = 1000//s is NOT a
+    multiple of q = 50//s (s=4: w=250, q=12). The reference's warm writes
+    land only at multiples of q (traintest.py:120-124), so the LAST warm
+    write is at (w//q)*q = 240 with lr 0.96*base — never a write at w
+    itself; that value holds until the next epoch boundary."""
+    hp = TrainHyperParams(lr=1e-4, lrscheduler_start=20, lrscheduler_step=1,
+                          lrscheduler_decay=0.5, warmup=True,
+                          bs_scale_factor=4)
+    spe = 2000
+    assert np.isclose(float(lr_at_step(hp, 240, spe)), 240 / 250 * 1e-4)
+    # Steps 241..251: the 240 write holds (no write at w=250).
+    for step in (245, 250, 251, 400):
+        assert np.isclose(float(lr_at_step(hp, step, spe)),
+                          240 / 250 * 1e-4), step
+    # Next epoch boundary: the scheduler writes base lr (epoch < start).
+    assert np.isclose(float(lr_at_step(hp, 2100, spe)), 1e-4)
+
+
 def test_lr_schedule_epic():
     hp = TrainHyperParams(lr=1e-3, epic=True, warmup=True)
     spe = 100
