@@ -392,7 +392,7 @@ def _fwd_pallas(u, dt, a_t, bm, cm, dsk, z, x0=None, *, reverse, save_states,
 def _bwd_kernel(
     *refs,
     l_chunk: int, reverse: bool, seq_len: int, softplus: bool = True,
-    with_state: bool = False, xminus: bool = True,
+    with_state: bool = False, dla_mode: str = "xprev",
 ):
     # dt arrives pre-activated (see _fwd_kernel_z): the softplus chain rule
     # is applied IN-KERNEL from dt alone via sigmoid(delta + bias) =
@@ -494,11 +494,12 @@ def _bwd_kernel(
     # lam*(x_t - 0) == lam*1*x_{t-1} — identical to the old form; the same
     # consumer-side masking argument applies (dat via dt=0, ddelta via
     # sig=0, dbp via dt*u=0).
+    xminus = dla_mode == "xminus"
     if xminus:
         lam_scr[...] = cm[:, :, :, None] * gy[:, :, None, :]    # CgY
     else:
-        # Old form (A/B reference, AUM_SCAN_BWD_XPREV=1): CgY staged in
-        # tmp_scr, dla via explicit xprev concat + a_scr multiply.
+        # xprev (the round-4 form) and dbu both stage CgY in tmp_scr and
+        # keep lam_scr write-only in the adjoint loop.
         tmp_scr[...] = cm[:, :, :, None] * gy[:, :, None, :]
 
     def bwd_body(i, p):
@@ -519,6 +520,14 @@ def _bwd_kernel(
     lam = lam_scr[...]
     if xminus:
         dla = lam * (x_scr[...] - tmp_scr[...])              # grad wrt dt*A
+    elif dla_mode == "dbu":
+        # Concat removal WITHOUT the in-place CgY staging (the in-place
+        # lam_scr read+write measured ~3.4% slower on the train step):
+        # recompute dBu in the epilogue — (dt*u) is computed there for dbp
+        # anyway, so the extra work is one bm broadcast-multiply + subtract,
+        # traded against the xprev concat stack temporary.
+        dla = lam * (x_scr[...]
+                     - (dt * u)[:, :, None, :] * bm[:, :, :, None])
     else:
         xb0 = xb_ref[:, 0].astype(jnp.float32)[:, None]     # (b_t,1,N,d_b)
         if reverse:
@@ -666,7 +675,7 @@ def _bwd_kernel_fused(
 
 def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin=None, *,
                 reverse, d_block, l_chunk, interpret, b_tile=None,
-                fused=True, softplus=True, xprev_form=False):
+                fused=True, softplus=True, dla_mode="xprev"):
     with_state = gfin is not None
     if with_state:
         fused = False  # state-carrying path supports the v1 kernel only
@@ -718,7 +727,7 @@ def _bwd_pallas(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin=None, *,
         _bwd_kernel_fused if fused else _bwd_kernel,
         l_chunk=l_chunk, reverse=reverse, seq_len=seq_len, softplus=softplus,
         **({"with_state": True} if with_state else {}),
-        **({} if fused else {"xminus": not xprev_form}))
+        **({} if fused else {"dla_mode": dla_mode}))
 
     state_spec = pl.BlockSpec(
         (b_tile, n_pad, d_block), lambda di, bi, li: (bi, 0, di),
@@ -1284,16 +1293,32 @@ def _get_fwd_op(reverse: bool, save_states: bool, d_block_target: int,
         fun, _FWD_KINDS, ["seq", "xb"] if save_states else ["seq"])
 
 
+def _bwd_dla_mode() -> str:
+    """A/B env switch for the adjoint's dla formulation (ROOFLINE.md
+    "Backward", VERDICT r4 #2c). Default: the xprev concat form — the
+    interleaved on-chip A/B measured it FASTEST (148.0/148.9 ms B=12 train
+    step vs 153.1/153.4 for the in-place-CgY x-minus-dBu pass-merge, ~3.4%:
+    removing two chunk traversals lost to whatever scheduling freedom the
+    in-place lam_scr read+write costs Mosaic). AUM_SCAN_BWD_XMINUS=1 /
+    AUM_SCAN_BWD_DBU=1 select the measured-negative variants (all three are
+    oracle-exact; see tests/test_selective_scan.py)."""
+    if _env_int("AUM_SCAN_BWD_XMINUS", 0):
+        return "xminus"
+    if _env_int("AUM_SCAN_BWD_DBU", 0):
+        return "dbu"
+    return "xprev"
+
+
 @functools.lru_cache(maxsize=None)
 def _get_bwd_op(reverse: bool, bwd_target: int, l_chunk: int,
                 interpret: bool, fused: bool = True, softplus: bool = True,
-                with_state: bool = False, xprev_form: bool = False):
+                with_state: bool = False, dla_mode: str = "xprev"):
     if with_state:
         def fun(u, dt, a_t, bm, cm, dsk, z, g, xb, gfin):
             du, ddelta, dz, dat, dd, dbias, dbp, dcp, dx0 = _bwd_pallas(
                 u, dt, a_t, bm, cm, dsk, z, g, xb, gfin, reverse=reverse,
                 d_block=bwd_target, l_chunk=l_chunk, interpret=interpret,
-                fused=False, softplus=softplus, xprev_form=xprev_form)
+                fused=False, softplus=softplus, dla_mode=dla_mode)
             return (du, ddelta, dz, dat, dd, dbias,
                     jnp.sum(dbp.astype(jnp.float32), axis=0),
                     jnp.sum(dcp.astype(jnp.float32), axis=0), dx0)
@@ -1309,7 +1334,7 @@ def _get_bwd_op(reverse: bool, bwd_target: int, l_chunk: int,
         du, ddelta, dz, dat, dd, dbias, dbp, dcp = _bwd_pallas(
             u, dt, a_t, bm, cm, dsk, z, g, xb, reverse=reverse,
             d_block=bwd_target, l_chunk=l_chunk, interpret=interpret,
-            fused=fused, softplus=softplus, xprev_form=xprev_form)
+            fused=fused, softplus=softplus, dla_mode=dla_mode)
         # Reduce the per-d-tile dB/dC partials here so the op's outputs are
         # global shapes (the remaining cross-shard d-reduction is the psum
         # in the partitioning rule).
@@ -1448,13 +1473,13 @@ def _make_scan(reverse: bool, d_block_target: int, l_chunk_target: int,
         # l_chunk must match).
         n_pad = a_t.shape[0]
         fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
-        xprev_form = _env_int("AUM_SCAN_BWD_XPREV", 0) != 0
+        dla_mode = _bwd_dla_mode()
         eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
         budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
         op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused,
-                         softplus, xprev_form=xprev_form)
+                         softplus, dla_mode=dla_mode)
         du, ddelta, dz, dat, dd, dbias, dbsum, dcsum = op(
             up, dtp, a_t, bp, cp, dsk, zp, gout, xb)
         dA = jnp.swapaxes(dat, 0, 1)[:, :n]
@@ -1526,8 +1551,7 @@ def _make_scan_x0(reverse: bool, d_block_target: int, l_chunk_target: int,
         bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
                               min(dbt, max(128, (budget // 128) * 128)))
         op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, False,
-                         softplus, True,
-                         xprev_form=_env_int("AUM_SCAN_BWD_XPREV", 0) != 0)
+                         softplus, True, dla_mode=_bwd_dla_mode())
         du, ddelta, dz, dat, dd, dbias, dbsum, dcsum, dx0 = op(
             up, dtp, a_t, bp, cp, dsk, zp, gout, xb,
             _to_kernel(gfin, n, n_pad))
@@ -2188,6 +2212,7 @@ def _dual_bwd_impl(res, gout, interpret):
 
     # Two sequential single-direction passes (AUM_SCAN_DUAL_BWD=0).
     fused = _env_int("AUM_SCAN_BWD_FUSED", 0) != 0
+    dla_mode = _bwd_dla_mode()
     eq = 3.0 if fused else 8.4  # calibrated buffer-equivalents/chain
     budget = int(_scoped_vmem_budget() / (eq * l_chunk * n_pad * 4))
     bwd_target = _env_int("AUM_SCAN_BWD_DBLOCK",
@@ -2196,7 +2221,7 @@ def _dual_bwd_impl(res, gout, interpret):
     def one(args, xb, g, reverse, n):
         up, dtp, a_t, bp, cp, dsk, zp = args
         op = _get_bwd_op(reverse, bwd_target, l_chunk, interpret, fused,
-                         xprev_form=_env_int("AUM_SCAN_BWD_XPREV", 0) != 0)
+                         dla_mode=dla_mode)
         return finish(op(up, dtp, a_t, bp, cp, dsk, zp, g, xb),
                       args, n)
 

@@ -41,30 +41,35 @@ DT_RANK = 48
 
 
 def timed_chain(build_fn, iters=8):
-    """build_fn() -> (step, x0) where step(x) -> x-like; returns ms/iter."""
+    """build_fn() -> (step, x0, consts); step(consts, x) -> x-like carry.
+
+    All big arrays ride as jit ARGUMENTS (consts), never closure constants —
+    closure constants get serialized into the remote-compile payload and
+    blow the relay's HTTP 413 limit (CLAUDE.md gotcha). Returns ms/iter via
+    the difference-of-chain-lengths harness.
+    """
     import jax
     import jax.numpy as jnp
 
-    step, x0 = build_fn()
+    step, x0, consts = build_fn()
 
-    # step returns same-structure carry; chain via fori_loop.
-    def many_simple(x, n):
+    def many_simple(consts, x, n):
         def body(_, c):
-            return step(c)
+            return step(consts, c)
 
         out = jax.lax.fori_loop(0, n, body, x)
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
 
-    run = jax.jit(many_simple, static_argnums=1)
+    run = jax.jit(many_simple, static_argnums=2)
     n_s, n_l = max(iters // 3, 1), iters
     for n in (n_s, n_l):
-        float(run(jax.tree.map(lambda a: a + 0.001, x0), n))
+        float(run(consts, jax.tree.map(lambda a: a + 0.001, x0), n))
 
     def t(n, off):
         xs = jax.tree.map(lambda a: a + off, x0)
         t0 = time.perf_counter()
-        float(run(xs, n))
+        float(run(consts, xs, n))
         return time.perf_counter() - t0
 
     ts = min(t(n_s, 0.01), t(n_s, 0.02))
@@ -85,11 +90,11 @@ def mode_full():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
     def build():
-        def step(c):
+        def step(params, c):
             out = model.apply(params, c)
             return c + jnp.mean(out).astype(c.dtype) * 1e-12
 
-        return step, x
+        return step, x, params
 
     return timed_chain(build)
 
@@ -119,13 +124,14 @@ def mode_scan_op():
     args_f, args_r = args_of(ks[0]), args_of(ks[1])
 
     def build():
-        def step(c):
-            u = args_f[0] + c.astype(jnp.bfloat16)
-            af = (u,) + args_f[1:]
-            y_f, y_b = selective_scan_dual(af, args_r)
+        def step(consts, c):
+            a_f, a_r = consts
+            u = a_f[0] + c.astype(jnp.bfloat16)
+            af = (u,) + a_f[1:]
+            y_f, y_b = selective_scan_dual(af, a_r)
             return c + (jnp.mean(y_f) + jnp.mean(y_b)).astype(c.dtype) * 1e-12
 
-        return step, jnp.zeros((), jnp.float32)
+        return step, jnp.zeros((), jnp.bfloat16), (args_f, args_r)
 
     return timed_chain(build)
 
@@ -144,7 +150,8 @@ def mode_matmuls():
     w_out = jax.random.normal(k[5], (D_INNER, D_MODEL), bf) * 0.02
 
     def build():
-        def step(c):
+        def step(consts, c):
+            w_x, w_z, w_xp, w_dt, w_out = consts
             u = c @ w_x
             z = c @ w_z
             xdb = u @ w_xp
@@ -152,7 +159,7 @@ def mode_matmuls():
             y = (u * jax.nn.sigmoid(z) + dt) @ w_out
             return c + y * jnp.asarray(1e-12, bf)
 
-        return step, h
+        return step, h, (w_x, w_z, w_xp, w_dt, w_out)
 
     return timed_chain(build)
 
@@ -165,15 +172,16 @@ def mode_conv():
 
     k = jax.random.split(jax.random.PRNGKey(3), 3)
     u = jax.random.normal(k[0], (B, L, D_INNER), jnp.bfloat16)
-    w = jax.random.normal(k[1], (4, D_INNER), jnp.bfloat16) * 0.2
+    w = jax.random.normal(k[1], (D_INNER, 4), jnp.bfloat16) * 0.2
     bias = jax.random.normal(k[2], (D_INNER,), jnp.bfloat16) * 0.1
 
     def build():
-        def step(c):
+        def step(consts, c):
+            w, bias = consts
             y = causal_conv1d(c, w, bias, activation="silu")
             return c + y * jnp.asarray(1e-12, jnp.bfloat16)
 
-        return step, u
+        return step, u, (w, bias)
 
     return timed_chain(build)
 
@@ -190,13 +198,14 @@ def mode_norms():
     w = 1.0 + jax.random.normal(k[2], (D_MODEL,), jnp.bfloat16) * 0.02
 
     def build():
-        def step(c):
+        def step(consts, c):
+            res, w = consts
             out, new_res = fused_add_norm(
                 c, w, None, residual=res, prenorm=True,
                 residual_in_fp32=True, norm_type="rms")
             return c + out * jnp.asarray(1e-12, jnp.bfloat16)
 
-        return step, h
+        return step, h, (res, w)
 
     return timed_chain(build)
 
@@ -222,14 +231,14 @@ def mode_surrogate():
     )
 
     def build():
-        def step(c):
-            a = (args[0] + c,) + args[1:]
+        def step(consts, c):
+            a = (consts[0] + c,) + consts[1:]
             # two bypasses = the Fo-Bi pair, matching in-model cost
             y = _scan_bypass(a)
             y2 = _scan_bypass(a)
             return c + (jnp.mean(y) + jnp.mean(y2)).astype(c.dtype) * 1e-12
 
-        return step, jnp.zeros((), jnp.bfloat16)
+        return step, jnp.zeros((), jnp.bfloat16), args
 
     return timed_chain(build)
 
