@@ -56,8 +56,11 @@ def main():
     xs = [jax.random.normal(jax.random.fold_in(key, i),
                             (args.batch, 1024, 128)) for i in range(args.iters)]
 
-    apply_jit = jax.jit(lambda x: model.apply(params, x))
-    t_apply = timed_loop(apply_jit, xs)
+    # params must ride as a jit ARGUMENT, not a closure constant — 332 MB
+    # of closure constants in the compile payload trips the relay's
+    # HTTP 413 limit (CLAUDE.md gotcha).
+    apply_jit = jax.jit(model.apply)
+    t_apply = timed_loop(lambda x: apply_jit(params, x), xs)
     t_serve = timed_loop(sm.predict, xs)
     print(f"apply:  {t_apply * 1e3:8.2f} ms/call "
           f"({args.batch / t_apply:7.1f} clips/s)")

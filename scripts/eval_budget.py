@@ -40,7 +40,10 @@ B, L, D_MODEL, D_INNER, N, DEPTH = 64, 513, 768, 1536, 16, 24
 DT_RANK = 48
 
 
-def timed_chain(build_fn, iters=8):
+_ITERS = 8  # set from --iters in main(); modes read it via timed_chain
+
+
+def timed_chain(build_fn, iters=None):
     """build_fn() -> (step, x0, consts); step(consts, x) -> x-like carry.
 
     All big arrays ride as jit ARGUMENTS (consts), never closure constants —
@@ -48,6 +51,7 @@ def timed_chain(build_fn, iters=8):
     blow the relay's HTTP 413 limit (CLAUDE.md gotcha). Returns ms/iter via
     the difference-of-chain-lengths harness.
     """
+    iters = iters or _ITERS
     import jax
     import jax.numpy as jnp
 
@@ -109,10 +113,15 @@ def mode_scan_op():
     bf = jnp.bfloat16
 
     def args_of(k):
+        # Match the IN-MODEL operand configuration exactly: delta is the
+        # bf16 dt_proj output (mamba.py pre_fn) — _prep streams dt "in
+        # delta's place (identical bytes)", so an fp32 delta here would
+        # double the dt HBM stream per direction vs what the model runs.
         kk = jax.random.split(k, 8)
         return (
             jax.random.normal(kk[0], (B, L, D_INNER), bf),          # u
-            jax.random.normal(kk[1], (B, L, D_INNER)) * 0.5 - 4.0,  # delta
+            (jax.random.normal(kk[1], (B, L, D_INNER), bf) * 0.5
+             - 4.0).astype(bf),                                     # delta
             -jnp.exp(jax.random.normal(kk[2], (D_INNER, N)) * 0.3), # A
             jax.random.normal(kk[3], (B, L, N), bf),                # B
             jax.random.normal(kk[4], (B, L, N), bf),                # C
@@ -126,10 +135,17 @@ def mode_scan_op():
     def build():
         def step(consts, c):
             a_f, a_r = consts
-            u = a_f[0] + c.astype(jnp.bfloat16)
-            af = (u,) + a_f[1:]
+            # Chain the data dependence through the SMALL (B, L, N) input
+            # and read back only output slices: the extra per-iteration HBM
+            # work must not be charged to the kernel (the full (B, L, D)
+            # carry-add + full-output means in the first version of this
+            # leg cost ~0.8 ms/iter on their own).
+            bm = a_f[3] + c.astype(jnp.bfloat16)
+            af = a_f[:3] + (bm,) + a_f[4:]
             y_f, y_b = selective_scan_dual(af, a_r)
-            return c + (jnp.mean(y_f) + jnp.mean(y_b)).astype(c.dtype) * 1e-12
+            dep = jnp.mean(y_f[:, :4].astype(jnp.float32)) \
+                + jnp.mean(y_b[:, :4].astype(jnp.float32))
+            return c + dep.astype(c.dtype) * 1e-12
 
         return step, jnp.zeros((), jnp.bfloat16), (args_f, args_r)
 
@@ -218,25 +234,40 @@ def mode_surrogate():
     from aum_tpu.models.mamba import _scan_bypass
 
     bf = jnp.bfloat16
-    k = jax.random.split(jax.random.PRNGKey(5), 6)
-    args = (
-        jax.random.normal(k[0], (B, L, D_INNER), bf),
-        jax.random.normal(k[1], (B, L, D_INNER), bf),
-        -jnp.exp(jax.random.normal(k[2], (D_INNER, N)) * 0.3),
-        jax.random.normal(k[3], (B, L, N), bf),
-        jax.random.normal(k[4], (B, L, N), bf),
-        jax.random.normal(k[5], (D_INNER,)),
-        jax.random.normal(k[0], (B, L, D_INNER), bf),
-        None,
-    )
+
+    def args_of(key):
+        k = jax.random.split(key, 7)
+        return (
+            jax.random.normal(k[0], (B, L, D_INNER), bf),
+            jax.random.normal(k[1], (B, L, D_INNER), bf),
+            -jnp.exp(jax.random.normal(k[2], (D_INNER, N)) * 0.3),
+            jax.random.normal(k[3], (B, L, N), bf),
+            jax.random.normal(k[4], (B, L, N), bf),
+            jax.random.normal(k[5], (D_INNER,)),
+            jax.random.normal(k[6], (B, L, D_INNER), bf),
+            None,
+        )
+
+    args = (args_of(jax.random.PRNGKey(5)), args_of(jax.random.PRNGKey(6)))
 
     def build():
         def step(consts, c):
-            a = (consts[0] + c,) + consts[1:]
-            # two bypasses = the Fo-Bi pair, matching in-model cost
+            # Chain through the small (B, L, N) input. The two bypasses
+            # (= the Fo-Bi pair) take DISTINCT operand sets, as the model's
+            # two directions do — identical inputs would be CSE'd into one.
+            # The readout is a FULL mean: the bypass is transparent jnp (not
+            # an opaque kernel), so a sliced readout lets XLA dead-code all
+            # but the sliced rows of the whole elementwise chain (measured:
+            # 0.000 ms). The full mean fuses into the bypass's single output
+            # pass, so it adds no extra traversal.
+            a_f, a_r = consts
+            a = a_f[:3] + (a_f[3] + c,) + a_f[4:]
+            a2 = a_r[:3] + (a_r[3] + c,) + a_r[4:]
             y = _scan_bypass(a)
-            y2 = _scan_bypass(a)
-            return c + (jnp.mean(y) + jnp.mean(y2)).astype(c.dtype) * 1e-12
+            y2 = _scan_bypass(a2)
+            dep = jnp.mean(y.astype(jnp.float32)) \
+                + jnp.mean(y2.astype(jnp.float32))
+            return c + dep.astype(c.dtype) * 1e-12
 
         return step, jnp.zeros((), jnp.bfloat16), args
 
@@ -253,12 +284,23 @@ MODES = {
     "surrogate": mode_surrogate,
 }
 
+# Per-mode chain lengths: sub-ms legs need LONG chains — at 8 iters the
+# 6-iteration length difference carries only ~2 ms of signal against
+# relay dispatch noise (measured run-to-run swings of 2-6x on norms/conv).
+# 96 iters puts ~30 ms of signal behind each sub-ms number.
+MODE_ITERS = {
+    "full": 8, "noscan": 8, "scan_op": 24,
+    "matmuls": 96, "conv": 96, "norms": 96, "surrogate": 96,
+}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--mode", choices=sorted(MODES), default=None)
     p.add_argument("--all", action="store_true")
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--iters", type=int, default=None,
+                   help="chain length override (default: per-mode "
+                        "MODE_ITERS)")
     args = p.parse_args(argv)
 
     if args.all:
@@ -270,8 +312,11 @@ def main(argv=None):
                 env["AUM_SCAN_BYPASS"] = "1"
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--mode", mode,
-                 "--iters", str(args.iters)],
-                env=env, capture_output=True, text=True, timeout=3600)
+                 "--iters", str(args.iters or MODE_ITERS[mode])],
+                # No timeout: killing a TPU client (even mid-compile) wedges
+                # the remote lease for 30+ min (CLAUDE.md). The relay itself
+                # fails starved clients after ~25 min.
+                env=env, capture_output=True, text=True)
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")]
             if not line:
@@ -304,6 +349,9 @@ def main(argv=None):
     if not args.mode:
         print("need --mode or --all")
         return 2
+    if args.iters:
+        global _ITERS
+        _ITERS = args.iters
     ms = MODES[args.mode]()
     print(json.dumps({"mode": args.mode, "ms": ms}))
     return 0

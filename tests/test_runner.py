@@ -176,6 +176,24 @@ def test_run_train_resume(spc_like_data, tmp_path):
     assert not os.path.exists(os.path.join(d2, "stats_1.pickle"))
 
 
+def test_run_ast_model_rejects_drop_path(tmp_path):
+    """model=ast with --aum_drop_path raises loudly instead of silently
+    training an unregularized encoder (the reference AST's timm drop rates
+    all default 0, ast_models.py:36-68; VERDICT r4 weak #6)."""
+    import dataclasses
+
+    import jax
+
+    from aum_tpu.run import build_model_and_params
+
+    cfg = dataclasses.replace(
+        RECIPES["speechcommands/aum-base_scratch"], model="ast",
+        aum_drop_path=0.1)
+    with pytest.raises(ValueError, match="aum_drop_path"):
+        build_model_and_params(cfg, jax.random.PRNGKey(0),
+                               np.zeros((1, 128, 128), np.float32))
+
+
 def test_run_ast_model(spc_like_data, tmp_path):
     """The AST branch of the runner (reference run.py:196-223)."""
     from aum_tpu.run import main
