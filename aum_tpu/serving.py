@@ -393,7 +393,11 @@ class ServingModel:
             if pad:
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-            return self._run(bsz, x)[:b]
+            out = self._run(bsz, x)
+            # Skip the slice when nothing was padded: x[:b] of a full-size
+            # batch still dispatches a lax.slice per call (measured in the
+            # bench_serving sequential-dispatch premium, docs/SERVING.md).
+            return out[:b] if pad else out
         big = sizes[-1]
         outs = [self.predict(x[i:i + big]) for i in range(0, b, big)]
         return jnp.concatenate(outs)
