@@ -658,9 +658,14 @@ def _bwd_kernel_fused(
         db_acc = db_acc + jnp.sum(ddelta_t, axis=0, keepdims=True)
         du_ref[:, t] = (gy_t * dsk0 + gdtu * dt_t).astype(du_ref.dtype)
         dtu_t = dt_t * um_scr[:, t]
-        dbp_ref[0, :, t] = jnp.sum(lam * dtu_t[:, None, :], axis=2)
+        # .astype: the partial refs are bf16 under AUM_SCAN_BWD_BF16_PARTIALS
+        # (out_shapes pdt in _bwd_pallas) — an un-cast fp32 store would fail
+        # to lower.
+        dbp_ref[0, :, t] = jnp.sum(
+            lam * dtu_t[:, None, :], axis=2).astype(dbp_ref.dtype)
         xt = a_step * xprev + dtu_t[:, None, :] * bm_scr[:, t][:, :, None]
-        dcp_ref[0, :, t] = jnp.sum(xt * gy_t[:, None, :], axis=2)
+        dcp_ref[0, :, t] = jnp.sum(
+            xt * gy_t[:, None, :], axis=2).astype(dcp_ref.dtype)
         return (a_step * lam, dat_acc, db_acc)
 
     init = (lam_state[...],
@@ -1301,7 +1306,8 @@ def _bwd_dla_mode() -> str:
     removing two chunk traversals lost to whatever scheduling freedom the
     in-place lam_scr read+write costs Mosaic). AUM_SCAN_BWD_XMINUS=1 /
     AUM_SCAN_BWD_DBU=1 select the measured-negative variants (all three are
-    oracle-exact; see tests/test_selective_scan.py)."""
+    oracle-exact; pinned by
+    tests/test_selective_scan.py::test_bwd_dla_variant_grads_match_default)."""
     if _env_int("AUM_SCAN_BWD_XMINUS", 0):
         return "xminus"
     if _env_int("AUM_SCAN_BWD_DBU", 0):

@@ -70,7 +70,11 @@ def lr_at_step(hp: TrainHyperParams, step, steps_per_epoch: int):
       revision here applied the decay on top of warmup; that was a real
       divergence on the shipped recipe, found in a round-5 review.
     - non-epic warmup (traintest.py:120-124): warm writes land at steps
-      {0, q, 2q, ..., w} (q = 50//s, w = 1000//s) and hold between writes;
+      {0, q, 2q, ..., (w//q)*q} (q = 50//s, w = 1000//s; when w % q != 0
+      there is NO write at w itself — the last warm write is at (w//q)*q
+      and that value holds until the next writer, see the ADVICE-r4 clamp
+      + test_lr_warmup_clamp_when_w_not_multiple_of_q) and hold between
+      writes;
       scheduler.step() writes at each epoch boundary. For the shipped
       recipes (steps_per_epoch > w, or warmup off) this equals the simple
       "staircase through w, schedule after" reading; they differ only when

@@ -349,9 +349,13 @@ def main(argv=None):
     if not args.mode:
         print("need --mode or --all")
         return 2
-    if args.iters:
-        global _ITERS
-        _ITERS = args.iters
+    global _ITERS
+    _ITERS = args.iters or MODE_ITERS[args.mode]
+    if args.mode == "noscan":
+        # Standalone runs must get the ablation too, not just --all's
+        # subprocesses — the knob is read at trace time, and jax has not
+        # been imported yet here.
+        os.environ["AUM_SCAN_BYPASS"] = "1"
     ms = MODES[args.mode]()
     print(json.dumps({"mode": args.mode, "ms": ms}))
     return 0

@@ -174,6 +174,66 @@ def test_lchunk_exact_pin(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("knob", ["AUM_SCAN_BWD_XMINUS", "AUM_SCAN_BWD_DBU"])
+def test_bwd_dla_variant_grads_match_default(knob, monkeypatch):
+    """The measured-negative dla-form variants (ROOFLINE.md 'Backward'
+    round-6 addendum) stay oracle-exact: xminus (recurrence-identity
+    pass-merge) and dbu (epilogue-dBu concat removal) must reproduce the
+    default xprev form's grads exactly-ish, so the A/B knobs keep
+    measuring the same math."""
+    from aum_tpu.ops.selective_scan import selective_scan
+
+    u, delta, A, B, C, D, z, bias = _make_inputs(
+        jax.random.PRNGKey(11), bsz=2, l=37, d=24, n=8)
+
+    def loss(*flat):
+        y = selective_scan(*flat, delta_softplus=True, d_block=8, l_chunk=16,
+                           use_kernel=True)
+        return jnp.sum(jnp.cos(y))
+
+    gfn = jax.grad(loss, argnums=tuple(range(8)))
+    monkeypatch.delenv(knob, raising=False)
+    ref = [np.asarray(g) for g in gfn(u, delta, A, B, C, D, z, bias)]
+    monkeypatch.setenv(knob, "1")
+    got = [np.asarray(g) for g in gfn(u, delta, A, B, C, D, z, bias)]
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"{knob} grad #{i}")
+
+
+@pytest.mark.parametrize("fused", ["0", "1"])
+def test_bwd_bf16_partials_runs_and_tracks_oracle(fused, monkeypatch):
+    """AUM_SCAN_BWD_BF16_PARTIALS=1 (measured: no timing gain AND a
+    precision kill at production shapes — default off) must still lower
+    and produce grads that TRACK fp32 at bf16-rounding tolerance, in both
+    the chunk-vectorized and the fused-loop (AUM_SCAN_BWD_FUSED=1)
+    backward — the fused kernel's partial stores need an explicit cast to
+    the bf16 refs."""
+    from aum_tpu.ops.selective_scan import selective_scan
+
+    u, delta, A, B, C, D, z, bias = _make_inputs(
+        jax.random.PRNGKey(12), bsz=2, l=37, d=24, n=8)
+
+    def loss(*flat):
+        y = selective_scan(*flat, delta_softplus=True, d_block=8, l_chunk=16,
+                           use_kernel=True)
+        return jnp.sum(jnp.cos(y))
+
+    gfn = jax.grad(loss, argnums=tuple(range(8)))
+    monkeypatch.setenv("AUM_SCAN_BWD_FUSED", fused)
+    monkeypatch.delenv("AUM_SCAN_BWD_BF16_PARTIALS", raising=False)
+    ref = [np.asarray(g) for g in gfn(u, delta, A, B, C, D, z, bias)]
+    monkeypatch.setenv("AUM_SCAN_BWD_BF16_PARTIALS", "1")
+    got = [np.asarray(g) for g in gfn(u, delta, A, B, C, D, z, bias)]
+    for i, (r, g) in enumerate(zip(ref, got)):
+        if i in (3, 4):  # dB, dC: flow through the bf16 partial stores
+            np.testing.assert_allclose(g, r, rtol=5e-2, atol=5e-2,
+                                       err_msg=f"grad #{i} (bf16 partial)")
+        else:
+            np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"grad #{i}")
+
+
 @pytest.mark.parametrize("shared", [True, False])
 def test_dual_scan_matches_two_single_scans(shared):
     from aum_tpu.ops.selective_scan import selective_scan_dual
