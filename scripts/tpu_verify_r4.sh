@@ -15,6 +15,13 @@
 # B=12 148.6 ms (80.7 clips/s), train_spc_synth final acc 0.375 (identical
 # trajectory — the fold_in-derived dropout rng leaves the k_aug/k_noise
 # streams untouched), serving predict (3, 35) finite.
+#
+# Round-6 rerun (2026-08-21, fresh host, cold caches, after the backward
+# variant knobs + eval-budget work, /tmp/tpu_verify_r6.log): all 6 legs
+# green — smoke fwd 2.61 ms B=4 (grads rel err <=3.7e-4), entry (8, 527)
+# bfloat16, bench 416.98 clips/s (vs_baseline 0.642, vs_target 0.128),
+# train step B=12 148.7 ms (80.7 clips/s), train_spc_synth final acc 0.375
+# (best epoch 10 — same plateau as r4/r5), serving predict (3, 35) finite.
 set -u
 cd "$(dirname "$0")/.."
 
