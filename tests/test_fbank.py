@@ -70,6 +70,20 @@ def test_fbank_matches_numpy_oracle():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_fbank_global_offset_invariance():
+    """Per-frame DC removal makes a global waveform offset a no-op — the
+    claim that lets the device pipeline skip reproducing the reference's
+    exact mean-subtraction bookkeeping (dataloader.py:102/129: per-file and
+    post-mix re-centering; datasets.py docstring). Pinned here so a future
+    FbankConfig change (remove_dc_offset=False) can't silently invalidate
+    the equivalence argument."""
+    rng = np.random.default_rng(7)
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    base = np.asarray(fbank(jnp.asarray(wave), FbankConfig()))
+    shifted = np.asarray(fbank(jnp.asarray(wave + 0.37), FbankConfig()))
+    np.testing.assert_allclose(shifted, base, rtol=2e-5, atol=2e-5)
+
+
 def test_fbank_batched_matches_single():
     rng = np.random.default_rng(1)
     waves = rng.standard_normal((3, 8000)).astype(np.float32) * 0.1
