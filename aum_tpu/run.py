@@ -277,6 +277,13 @@ def main(argv=None):
 
     train_pipe, val_pipe, eval_pipe = build_pipelines(cfg, args)
     n_dev = len(jax.devices())
+    # PP+SP cannot compose on this jax: the pipeline is a shard_map manual
+    # over 'pipe' and the seq scan opens a manual 'seq' region inside it,
+    # but jax rejects a nested shard_map that ADDS a manual axis — probed
+    # round 6: "shard_map in_specs argument must refer to an axis marked as
+    # manual (frozenset({'pipe'}))". Making the outer map manual over both
+    # axes would force hand-written halo exchange for the causal conv that
+    # GSPMD currently auto-inserts (docs/ROUND6.md "PP+SP probe").
     assert not (args.n_seq > 1 and args.n_pipe > 1), \
         "--n-seq and --n-pipe cannot be combined"
     mesh = make_mesh(
