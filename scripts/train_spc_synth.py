@@ -76,7 +76,18 @@ def main():
     ap.add_argument("--extra-set", action="append", default=[],
                     help="additional --set recipe overrides, e.g. "
                          "aum_drop_path=0.2 (stochastic-depth e2e drill)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="compile/run smoke only: 2 epochs, finite-loss "
+                         "check, no learning asserts. Round-6 on-chip "
+                         "feature smokes used this with --extra-set "
+                         "mixup=0.5 noise=True (aug path) and "
+                         "flexible_patch_sizes=8,16 (flexi train loop); "
+                         "AST ran the full drill: --model-type small "
+                         "--depth 2 --extra-set model=ast fstride=16 "
+                         "tstride=16 -> acc 0.25, AUC 0.60.")
     args = ap.parse_args()
+    if args.smoke:
+        args.epochs = min(args.epochs, 2)
 
     from aum_tpu.run import main as run_main
 
@@ -102,6 +113,12 @@ def main():
     final_acc = history[-1]["acc"]
     print(f"final val acc: {final_acc:.3f} "
           f"(chance = 0.125); artifacts in {exp_dir}")
+    import numpy as np
+
+    assert all(np.isfinite(h["loss"]) for h in history), history
+    if args.smoke:
+        print("OK (smoke: finite losses, no learning asserts)")
+        return
     assert final_acc >= 0.25, "training did not beat chance (acc)"
     assert history[-1]["AUC"] > 0.6, "training did not beat chance (AUC)"
     print("OK")
