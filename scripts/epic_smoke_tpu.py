@@ -23,16 +23,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_fixture(root: str, n_videos: int = 6, n_records: int = 24,
-                  num_classes: int = 5, sr: int = 8000):
+def build_fixture(root: str, n_videos: int = 4, n_records: int = 16,
+                  num_classes: int = 5, sr: int = 24000):
+    """sr MUST match the pipeline's EpicAudioConfig.sampling_rate (24000 —
+    the reference's SAMPLING_RATE): EpicSoundsRecord converts the
+    annotation timestamps to sample offsets at that rate, so a fixture
+    written at another rate misaligns every segment. Records alternate
+    between segments shorter than clip_secs=10 (the whole-segment +
+    edge-pad path) and 11 s segments (the random/uniform-window path), so
+    both branches of _extract_sound_feature run on-chip."""
     import h5py
     import pandas as pd
 
     rng = np.random.default_rng(0)
     with h5py.File(os.path.join(root, "audio.hdf5"), "w") as f:
         for v in range(n_videos):
-            # 3-6 s of class-tinted tone+noise so CE has signal to fit
-            n = int(sr * rng.uniform(3.0, 6.0))
+            # 14 s of class-tinted tone+noise so CE has signal to fit
+            n = int(sr * 14.0)
             t = np.arange(n) / sr
             freq = 200.0 * (1 + (v % num_classes))
             wav = (0.4 * np.sin(2 * np.pi * freq * t)
@@ -42,11 +49,12 @@ def build_fixture(root: str, n_videos: int = 6, n_records: int = 24,
     for r in range(n_records):
         v = r % n_videos
         start = 0.2 + 0.1 * (r // n_videos)
+        dur = 2.0 if r % 2 == 0 else 11.0
         rows.append({
             "participant_id": "P1", "video_id": f"video{v}",
             "annotation_id": f"a{r}",
             "start_timestamp": f"00:00:{start:06.3f}",
-            "stop_timestamp": f"00:00:{start + 2.0:06.3f}",
+            "stop_timestamp": f"00:00:{start + dur:06.3f}",
             "class_id": v % num_classes,
         })
     pd.DataFrame(rows).to_pickle(os.path.join(root, "ann.pkl"))

@@ -113,8 +113,6 @@ def main():
     final_acc = history[-1]["acc"]
     print(f"final val acc: {final_acc:.3f} "
           f"(chance = 0.125); artifacts in {exp_dir}")
-    import numpy as np
-
     assert all(np.isfinite(h["loss"]) for h in history), history
     if args.smoke:
         print("OK (smoke: finite losses, no learning asserts)")
