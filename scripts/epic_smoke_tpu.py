@@ -28,10 +28,12 @@ def build_fixture(root: str, n_videos: int = 4, n_records: int = 16,
     """sr MUST match the pipeline's EpicAudioConfig.sampling_rate (24000 —
     the reference's SAMPLING_RATE): EpicSoundsRecord converts the
     annotation timestamps to sample offsets at that rate, so a fixture
-    written at another rate misaligns every segment. Records alternate
-    between segments shorter than clip_secs=10 (the whole-segment +
-    edge-pad path) and 11 s segments (the random/uniform-window path), so
-    both branches of _extract_sound_feature run on-chip."""
+    written at another rate misaligns every segment. Records cycle through
+    three segment kinds: 0.4 s (shorter than the smoke's 128-frame target
+    at 5 ms hop, so the edge-pad path actually pads), 2 s (sub-clip
+    whole-segment path, frame-full), and 11 s (the random/uniform-window
+    path) — every _extract_sound_feature branch AND the edge-pad masking
+    run on-chip."""
     import h5py
     import pandas as pd
 
@@ -49,7 +51,7 @@ def build_fixture(root: str, n_videos: int = 4, n_records: int = 16,
     for r in range(n_records):
         v = r % n_videos
         start = 0.2 + 0.1 * (r // n_videos)
-        dur = 2.0 if r % 2 == 0 else 11.0
+        dur = (0.4, 2.0, 11.0)[r % 3]
         rows.append({
             "participant_id": "P1", "video_id": f"video{v}",
             "annotation_id": f"a{r}",

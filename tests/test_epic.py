@@ -1,6 +1,8 @@
 """EPIC-SOUNDS pipeline: spectrogram frontend, sparse-warp SpecAugment,
 HDF5 dataset, ensemble-view sampling."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -152,6 +154,39 @@ def epic_h5(tmp_path):
     ]
     pd.DataFrame(rows).to_pickle(tmp_path / "ann.pkl")
     return str(tmp_path / "ann.pkl"), str(tmp_path / "audio.hdf5"), cfg
+
+
+def test_epic_smoke_fixture_alignment(tmp_path):
+    """scripts/epic_smoke_tpu.py's fixture must stay aligned with the
+    pipeline's default SAMPLING_RATE (a review caught an 8 kHz fixture
+    being indexed at 24 kHz): both the sub-clip and the >clip_secs record
+    kinds must slice inside their stored audio and produce the expected
+    frame counts."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from epic_smoke_tpu import build_fixture
+
+    ann, h5 = build_fixture(str(tmp_path))
+    cfg = EpicAudioConfig(num_classes=5, num_frames=128)
+    ds = EpicSoundsDataset(ann, h5, cfg, split="train")
+    rng = np.random.default_rng(0)
+    # record 0: 0.4 s segment -> whole-segment path with REAL edge-padding
+    # (0.4 s = 81 frames < the 128-frame target)
+    wave, n_frames, y, _ = ds.sample(0, rng)
+    assert wave.shape == (cfg.clip_samples,)
+    assert n_frames < cfg.num_frames
+    assert np.abs(wave[: int(0.4 * cfg.sampling_rate)]).max() > 0.05
+    # record 1: 2 s sub-clip segment -> whole-segment path, frame-full
+    wave1, n1, _, _ = ds.sample(1, rng)
+    assert n1 == cfg.num_frames
+    assert np.abs(wave1[: 2 * cfg.sampling_rate]).max() > 0.05
+    # record 2: 11 s segment > clip_secs=10 -> random-window path, full clip
+    wave2, n2, _, _ = ds.sample(2, rng)
+    assert n2 == cfg.num_frames
+    # the tail of the 10 s clip window is real audio, not padding
+    assert np.abs(wave2[-cfg.sampling_rate:]).max() > 0.05
 
 
 def test_epic_dataset_and_pipeline(epic_h5):
